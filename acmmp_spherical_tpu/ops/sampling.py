@@ -1,0 +1,191 @@
+"""Image sampling primitives -- the TPU replacement for CUDA texture units.
+
+TPUs have no texture hardware: bilinear/nearest lookups are explicit gathers
+plus lerps.  Addressing semantics follow the reference's *effective* behavior
+(SURVEY.md quirk notes): the reference sets ``cudaAddressModeWrap`` on
+non-normalised coords, which actually clamps; real seam handling is the
+explicit longitude wrap in the cost kernel (reference ACMMP.cu:425-427,
+465-474).  Here wrap/clamp is explicit and principled:
+
+* ``wrap_x=True`` (sphere): x wraps modulo the view width *including the
+  bilinear neighbour*, so interpolation is seam-continuous (the reference
+  clamps the last column; we knowingly improve).
+* pinhole: out-of-bounds returns ``valid=False`` (callers skip the tap, as the
+  reference does) and the gathered value is edge-clamped.
+
+All functions take the *logical* view size (width, height) separately from the
+padded array shape, so stacks of differently-sized views can share one padded
+array.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_coords(height: int, width: int, dtype=jnp.float32):
+    """Pixel-center coordinate grids (xs, ys), each (H, W)."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0).astype(dtype)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1).astype(dtype)
+    return xs, ys
+
+
+def sample_bilinear(
+    img: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    width: jax.Array,
+    height: jax.Array,
+    *,
+    wrap_x: bool,
+):
+    """Bilinear sample at float coords (pixel centers at integers).
+
+    ``img``: (Hp, Wp) padded storage; ``width``/``height``: logical size
+    (traced scalars).  Returns ``(value, valid)``.
+
+    Matches the reference's ``tex2D(img, x + 0.5, y + 0.5)`` convention
+    (integer coordinates hit exact pixels; reference ACMMP.cu:455, 476).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    if wrap_x:
+        x = x - jnp.floor(x / width) * width        # reference ACMMP.cu:467
+        y = jnp.clip(y, 0.0, height - 1.0)          # reference ACMMP.cu:468
+        valid = jnp.ones(jnp.broadcast_shapes(x.shape, y.shape), bool)
+    else:
+        valid = (x >= 0.0) & (x < width) & (y >= 0.0) & (y < height)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
+    hi = height.astype(jnp.int32) if hasattr(height, "astype") else jnp.int32(height)
+    if wrap_x:
+        x0 = jnp.remainder(x0, wi)
+        x1 = jnp.remainder(x0 + 1, wi)
+    else:
+        x0 = jnp.clip(x0, 0, wi - 1)
+        x1 = jnp.clip(x0 + 1, 0, wi - 1)
+    y0 = jnp.clip(y0, 0, hi - 1)
+    y1 = jnp.clip(y0 + 1, 0, hi - 1)
+
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    top = v00 + (v01 - v00) * fx
+    bot = v10 + (v11 - v10) * fx
+    return top + (bot - top) * fy, valid
+
+
+def sample_nearest_trunc(
+    img: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    width: jax.Array,
+    height: jax.Array,
+):
+    """Nearest sample with C-style truncation-toward-zero indexing.
+
+    Replicates the reference's depth-map lookups
+    ``tex2D(depth, (int)x + 0.5, (int)y + 0.5)`` (reference ACMMP.cu:656):
+    the (int) cast truncates toward zero.  Returns (value, valid) where valid
+    means the *truncated* index is in bounds.
+    """
+    xi = jnp.trunc(jnp.asarray(x, jnp.float32)).astype(jnp.int32)
+    yi = jnp.trunc(jnp.asarray(y, jnp.float32)).astype(jnp.int32)
+    wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
+    hi = height.astype(jnp.int32) if hasattr(height, "astype") else jnp.int32(height)
+    valid = (xi >= 0) & (xi < wi) & (yi >= 0) & (yi < hi)
+    xi = jnp.clip(xi, 0, wi - 1)
+    yi = jnp.clip(yi, 0, hi - 1)
+    return img[yi, xi], valid
+
+
+def sample_nearest_round(
+    img: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    width: jax.Array,
+    height: jax.Array,
+):
+    """Nearest sample with round-half-up (fusion's ``int(x + 0.5)`` intent,
+    reference ACMMP.cu:1723-1724). Returns (value, valid)."""
+    xi = jnp.floor(jnp.asarray(x, jnp.float32) + 0.5).astype(jnp.int32)
+    yi = jnp.floor(jnp.asarray(y, jnp.float32) + 0.5).astype(jnp.int32)
+    wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
+    hi = height.astype(jnp.int32) if hasattr(height, "astype") else jnp.int32(height)
+    valid = (xi >= 0) & (xi < wi) & (yi >= 0) & (yi < hi)
+    xi = jnp.clip(xi, 0, wi - 1)
+    yi = jnp.clip(yi, 0, hi - 1)
+    return img[yi, xi], valid
+
+
+def shift2d(
+    arr: jax.Array,
+    dy: int,
+    dx: int,
+    *,
+    fill: float | None = None,
+    wrap_x: bool = False,
+) -> jax.Array:
+    """Static shift: ``out[y, x] = arr[y + dy, x + dx]``.
+
+    ``fill=None`` edge-clamps; otherwise out-of-range reads yield ``fill``.
+    ``wrap_x`` wraps the x axis (sphere longitude ring).
+    Implemented with pad+slice so XLA lowers it to cheap copies, not gathers.
+    """
+    h, w = arr.shape[-2:]
+    out = arr
+    # ---- x axis ----
+    if dx != 0:
+        if wrap_x:
+            out = jnp.roll(out, -dx, axis=-1)
+        else:
+            pad = [(0, 0)] * (out.ndim - 1)
+            if dx > 0:
+                sliced = out[..., dx:]
+                if fill is None:
+                    edge = sliced[..., -1:]
+                    tail = jnp.repeat(edge, dx, axis=-1)
+                else:
+                    tail = jnp.full(out.shape[:-1] + (dx,), fill, out.dtype)
+                out = jnp.concatenate([sliced, tail], axis=-1)
+            else:
+                sliced = out[..., :dx]
+                if fill is None:
+                    edge = sliced[..., :1]
+                    head = jnp.repeat(edge, -dx, axis=-1)
+                else:
+                    head = jnp.full(out.shape[:-1] + (-dx,), fill, out.dtype)
+                out = jnp.concatenate([head, sliced], axis=-1)
+    # ---- y axis (no wrap: latitude clamps) ----
+    if dy != 0:
+        if dy > 0:
+            sliced = out[..., dy:, :]
+            if fill is None:
+                tail = jnp.repeat(sliced[..., -1:, :], dy, axis=-2)
+            else:
+                tail = jnp.full(out.shape[:-2] + (dy, w), fill, out.dtype)
+            out = jnp.concatenate([sliced, tail], axis=-2)
+        else:
+            sliced = out[..., :dy, :]
+            if fill is None:
+                head = jnp.repeat(sliced[..., :1, :], -dy, axis=-2)
+            else:
+                head = jnp.full(out.shape[:-2] + (-dy, w), fill, out.dtype)
+            out = jnp.concatenate([head, sliced], axis=-2)
+    return out
+
+
+def shift_valid_mask(height: int, width: int, dy: int, dx: int) -> jax.Array:
+    """Boolean mask of pixels whose (y+dy, x+dx) neighbour is in bounds."""
+    xs, ys = grid_coords(height, width, jnp.int32)
+    return (
+        (ys + dy >= 0) & (ys + dy < height) & (xs + dx >= 0) & (xs + dx < width)
+    )
