@@ -1,0 +1,470 @@
+"""Checkerboard PatchMatch: initialisation, propagation half-steps, refinement.
+
+TPU-native reformulation of the reference's per-pixel CUDA kernels:
+
+* ``RandomInitialization`` (ACMMP.cu:673-795)  -> :func:`initialize_state`
+* ``CheckerboardPropagation`` (ACMMP.cu:938-1325) + ``PlaneHypothesisRefinement``
+  (ACMMP.cu:797-936) -> :func:`checkerboard_halfstep`
+
+One half-step functionally updates all pixels of one checkerboard colour: the
+update is computed as a full-grid array program and committed through a parity
+mask, so the red-black (Gauss-Seidel) ordering of the reference is preserved
+while races are impossible by construction (SURVEY.md 5.2).
+
+Documented deviations from the reference fork (intended-semantics fixes):
+
+* the fork's local ``plane_hypotheses_now`` is read uninitialised when no
+  propagation candidate is accepted (ACMMP.cu:1301-1323); we initialise the
+  running hypothesis from the centre pixel, which is the evident intent (and
+  what upstream ACMMP does);
+* in prior mode the fork's acceptance writes ``plane_hypotheses[center]``
+  directly but the final unconditional store clobbers it with the
+  uninitialised local (ACMMP.cu:1283 vs 1323); our acceptance updates the
+  running local coherently;
+* invalid candidate regions get cost ``+inf`` rather than the fork's
+  uninitialised-stack costs (ACMMP.cu:957 aggregate-init quirk), so border
+  pixels propagate from their *valid* regions instead of being disabled;
+* the planar-prior branch of ``RandomInitialization`` is dead code in the fork
+  (the first branch shadows it, ACMMP.cu:686); we implement the intended
+  reachable semantics, with the world->cam rebase the fork's prior-else branch
+  forgot (ACMMP.cu:704-710).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from acmmp_spherical_tpu.config import PatchMatchParams
+from acmmp_spherical_tpu.core.camera import Camera, Cameras, SPHERE
+from acmmp_spherical_tpu.core import geometry as G
+from acmmp_spherical_tpu.core.plane import PlaneState
+from acmmp_spherical_tpu.ops import rng as R
+from acmmp_spherical_tpu.ops.candidates import gather_candidates
+from acmmp_spherical_tpu.ops.geom import geom_consistency_cost
+from acmmp_spherical_tpu.ops.ncc import (
+    RefTapContext,
+    multiview_ncc,
+    ref_tap_context,
+    topk_cost_and_selection,
+)
+from acmmp_spherical_tpu.ops.sampling import grid_coords
+from acmmp_spherical_tpu.ops.view_select import joint_view_selection
+
+
+class PatchMatchInputs(NamedTuple):
+    """Device-resident inputs of one Problem (one reference view + sources)."""
+
+    ref_image: jax.Array               # (H, W) float32 grayscale 0..255
+    src_images: jax.Array              # (S, Hp, Wp) padded source stack
+    ref_cam: Camera
+    src_cams: Cameras                  # batched (S)
+    src_valid: jax.Array               # (S,) bool (padding mask)
+    src_depths: Optional[jax.Array] = None    # (S, Hp, Wp) geom mode
+    prior_normal: Optional[jax.Array] = None  # (H, W, 3) planar prior
+    prior_w: Optional[jax.Array] = None       # (H, W)
+    prior_mask: Optional[jax.Array] = None    # (H, W) bool
+
+
+def _masked_cost_vector(inputs, ctx, normal, w, params):
+    """NCC cost vector with padded views forced to cost_max."""
+    cv = multiview_ncc(
+        inputs.src_images, inputs.src_cams, inputs.ref_cam, normal, w, ctx, params
+    )
+    return jnp.where(inputs.src_valid[:, None, None], cv, params.cost_max)
+
+
+def _aggregate(cost_vec, geom_vec, weights, weight_norm, geom_weight, params):
+    """Weighted multi-view aggregation (ACMMP.cu:1210-1228 / 884-899)."""
+    total = cost_vec if geom_vec is None else cost_vec + geom_weight * geom_vec
+    agg = jnp.sum(weights * total, axis=0)
+    return agg / jnp.maximum(weight_norm, 1e-20)
+
+
+def _geom_vec(inputs, normal, w, xs, ys, params):
+    if not params.geom_consistency or inputs.src_depths is None:
+        return None
+    gc = geom_consistency_cost(
+        inputs.src_depths, inputs.src_cams, inputs.ref_cam, normal, w, xs, ys, params
+    )
+    return jnp.where(inputs.src_valid[:, None, None], gc, params.geom_max_cost)
+
+
+def _prior_weight(depth, normal, prior_depth, prior_normal, params):
+    """Planar-prior plausibility (ACMMP.cu:1249-1276, 917-919)."""
+    depth_sigma = (params.depth_max - params.depth_min) / params.prior_depth_sigma_div
+    two_ds2 = 2.0 * depth_sigma * depth_sigma
+    angle_sigma = params.prior_angle_sigma
+    two_as2 = 2.0 * angle_sigma * angle_sigma
+    dd = depth - prior_depth
+    cos_a = jnp.clip(jnp.sum(normal * prior_normal, axis=-1), -1.0, 1.0)
+    da = jnp.arccos(cos_a)
+    return params.prior_gamma + jnp.exp(-dd * dd / two_ds2) * jnp.exp(-da * da / two_as2)
+
+
+def _restricted(cost, prior_wt, params):
+    return jnp.exp(-cost * cost / params.prior_beta) * prior_wt
+
+
+# ---------------------------------------------------------------------------
+# initialisation (RandomInitialization, ACMMP.cu:673-795)
+# ---------------------------------------------------------------------------
+
+def initialize_state(
+    inputs: PatchMatchInputs,
+    params: PatchMatchParams,
+    key: jax.Array,
+    *,
+    prev_state: Optional[PlaneState] = None,
+    seed_normal_world: Optional[jax.Array] = None,  # (H, W, 3) world frame
+    seed_depth: Optional[jax.Array] = None,         # (H, W)
+    ctx: Optional[RefTapContext] = None,
+) -> PlaneState:
+    """Build the initial plane field + costs for one PatchMatch pass.
+
+    Modes (matching reference RandomInitialization):
+
+    * fresh photometric: random planes (mode a);
+    * ``params.planar_prior`` with ``prev_state``: perturb the prior where
+      masked and the previous cost is poor, else keep the previous plane
+      (mode b, intended semantics);
+    * geom / hierarchy seeding: ``seed_normal_world`` + ``seed_depth`` from the
+      previous pass's dmb outputs, rebased into the ref-cam frame (modes c/d).
+      For hierarchy-upsample the caller passes the already-upsampled fields.
+    """
+    H, W = inputs.ref_image.shape
+    xs, ys = grid_coords(H, W)
+    cam = inputs.ref_cam
+    if ctx is None:
+        ctx = ref_tap_context(inputs.ref_image, cam, params)
+
+    if params.planar_prior:
+        if prev_state is None or inputs.prior_mask is None:
+            raise ValueError("planar-prior init needs prev_state and prior fields")
+        k1, k2, k3 = jax.random.split(key, 3)
+        # perturb the prior plane: w +- 3*2% (uniform), normal Euler
+        # +- 3*0.02*pi (reference ACMMP.cu:692-700)
+        pert = params.prior_init_perturbation
+        w_prior = inputs.prior_w
+        w_lo = (1.0 - 3.0 * pert) * w_prior
+        w_hi = (1.0 + 3.0 * pert) * w_prior
+        u = R.uniform(k1, w_prior.shape)
+        w_pert = w_lo + u * (w_hi - w_lo)
+        n_pert = R.perturbed_normal(
+            k2, cam, xs, ys, inputs.prior_normal, 3.0 * pert * jnp.pi
+        )
+        use_prior = inputs.prior_mask & (prev_state.cost >= 0.1)
+        # else-branch: keep the previous plane; it arrives as (world normal,
+        # depth) after depth/normal extraction -> rebase to ref-cam frame
+        # (the fork forgot the rebase here; ACMMP.cu:704-710)
+        n_keep = G.normal_world_to_cam(cam, prev_state.normal)
+        w_keep = G.dist_to_origin(cam, xs, ys, prev_state.w, n_keep)
+        normal = jnp.where(use_prior[..., None], n_pert, n_keep)
+        w = jnp.where(use_prior, w_pert, w_keep)
+    elif params.geom_consistency or params.hierarchy:
+        if seed_normal_world is None or seed_depth is None:
+            raise ValueError("geom/hierarchy init needs seed fields")
+        # rebase world normals + depths into plane params (ACMMP.cu:780-793)
+        normal = G.normal_world_to_cam(cam, seed_normal_world)
+        normal = G.normalize(normal)
+        w = G.dist_to_origin(cam, xs, ys, seed_depth, normal)
+    else:
+        normal, w = R.random_plane_hypothesis(
+            key, cam, xs, ys, params.depth_min, params.depth_max
+        )
+
+    cost_vec = _masked_cost_vector(inputs, ctx, normal, w, params)
+    cost, selected = topk_cost_and_selection(cost_vec, inputs.src_valid, params)
+    # hierarchy commit threshold = the seeded plane's own initial cost (the
+    # fork stores a garbage-normal cost / leaves it uninitialised;
+    # ACMMP.cu:770-771, SURVEY.md quirks)
+    pre_cost = cost
+    return PlaneState(normal=normal, w=w, cost=cost, selected=selected,
+                      pre_cost=pre_cost)
+
+
+# ---------------------------------------------------------------------------
+# refinement (PlaneHypothesisRefinement, ACMMP.cu:797-936)
+# ---------------------------------------------------------------------------
+
+def _refinement(
+    inputs, ctx, params, key, xs, ys,
+    normal, w, depth, cost, restricted, sel: "joint view selection result",
+    prior_depth, prior_wt_args,
+):
+    """Sequentially ratchet through the 5 refinement candidates.
+
+    Candidate table (ACMMP.cu:871-874):
+    (rand_d, cur_n), (cur_d, rand_n), (rand_d, rand_n), (cur_d, pert_n),
+    (pert_d, cur_n).
+    """
+    cam = inputs.ref_cam
+    perturbation = params.refine_perturbation
+    k_rd, k_rn, k_pn, k_pd = jax.random.split(key, 4)
+
+    depth_sigma = (params.depth_max - params.depth_min) / params.prior_depth_sigma_div
+
+    if params.planar_prior:
+        has_prior = inputs.prior_mask
+        # prior-guided random sampling (ACMMP.cu:830-836)
+        lo_p = jnp.maximum(prior_depth - 3.0 * depth_sigma, params.depth_min)
+        hi_p = jnp.minimum(prior_depth + 3.0 * depth_sigma, params.depth_max)
+        u = R.uniform(k_rd, depth.shape)
+        d_rand_prior = R.sample_depth_inv(u, lo_p, hi_p)
+        d_rand_free = R.sample_depth_inv(u, params.depth_min, params.depth_max)
+        depth_rand = jnp.where(has_prior, d_rand_prior, d_rand_free)
+        n_rand_prior = R.perturbed_normal(
+            k_rn, cam, xs, ys, inputs.prior_normal, params.prior_angle_sigma
+        )
+        n_rand_free = R.random_normal_toward_viewer(k_rn, cam, xs, ys)
+        normal_rand = jnp.where(has_prior[..., None], n_rand_prior, n_rand_free)
+    else:
+        u = R.uniform(k_rd, depth.shape)
+        depth_rand = R.sample_depth_inv(u, params.depth_min, params.depth_max)
+        normal_rand = R.random_normal_toward_viewer(k_rn, cam, xs, ys)
+
+    # local inverse-depth window around the current depth (ACMMP.cu:843-863);
+    # the 32-try loop always succeeds on try 1 because the window is clamped
+    # inside the global range, so one sample is exact.
+    lo = jnp.maximum((1.0 - perturbation) * depth, params.depth_min)
+    hi = jnp.minimum((1.0 + perturbation) * depth, params.depth_max)
+    healed = ~(hi > lo)
+    lo = jnp.where(healed, params.depth_min, lo)
+    hi = jnp.where(healed, params.depth_max, hi)
+    depth_pert = R.sample_depth_inv(R.uniform(k_pd, depth.shape), lo, hi)
+    normal_pert = R.perturbed_normal(
+        k_pn, cam, xs, ys, normal, perturbation * jnp.pi
+    )
+
+    cand_depths = jnp.stack([depth_rand, depth, depth_rand, depth, depth_pert])
+    cand_normals = jnp.stack([normal, normal_rand, normal_rand, normal_pert, normal])
+    cand_w = jax.vmap(lambda d, n: G.dist_to_origin(cam, xs, ys, d, n))(
+        cand_depths, cand_normals
+    )
+
+    def cand_cost(args):
+        n_i, w_i = args
+        cv = _masked_cost_vector(inputs, ctx, n_i, w_i, params)
+        gv = _geom_vec(inputs, n_i, w_i, xs, ys, params)
+        return _aggregate(cv, gv, sel.weights, sel.weight_norm,
+                          params.geom_weight_refine, params)
+
+    cand_costs = jax.lax.map(cand_cost, (cand_normals, cand_w))  # (5, H, W)
+    cand_depth_at_pixel = jax.vmap(
+        lambda n_i, w_i: G.depth_from_plane(cam, xs, ys, n_i, w_i)
+    )(cand_normals, cand_w)
+
+    can_refine = sel.weight_norm > 0.0  # reference early-out (ACMMP.cu:813)
+
+    def step(carry, cand):
+        n_cur, w_cur, d_cur, c_cur, r_cur = carry
+        n_i, w_i, c_i, d_i = cand
+        valid = (
+            can_refine
+            & (d_i >= params.depth_min)
+            & (d_i <= params.depth_max)
+            & (d_i < G.INVALID_DEPTH)
+        )
+        if params.planar_prior:
+            pw = _prior_weight(
+                # NOTE: prior weighting uses the *sampled* candidate depth
+                # table value in the fork (depths[i]); the plane-at-pixel
+                # depth d_i equals it by construction of cand_w.
+                d_i, n_i, prior_depth, inputs.prior_normal, params
+            )
+            r_i = _restricted(c_i, pw, params)
+            accept_p = valid & inputs.prior_mask & (r_i > r_cur)
+            accept_s = valid & ~inputs.prior_mask & (c_i < c_cur)
+            accept = accept_p | accept_s
+            r_new = jnp.where(accept_p, r_i, r_cur)
+        else:
+            accept = valid & (c_i < c_cur)
+            r_new = r_cur
+        n_new = jnp.where(accept[..., None], n_i, n_cur)
+        w_new = jnp.where(accept, w_i, w_cur)
+        d_new = jnp.where(accept, d_i, d_cur)
+        c_new = jnp.where(accept, c_i, c_cur)
+        return (n_new, w_new, d_new, c_new, r_new), None
+
+    (normal, w, depth, cost, restricted), _ = jax.lax.scan(
+        step,
+        (normal, w, depth, cost, restricted),
+        (cand_normals, cand_w, cand_costs, cand_depth_at_pixel),
+    )
+    return normal, w, depth, cost, restricted
+
+
+# ---------------------------------------------------------------------------
+# one red/black half-step
+# ---------------------------------------------------------------------------
+
+def checkerboard_halfstep(
+    state: PlaneState,
+    inputs: PatchMatchInputs,
+    ctx: RefTapContext,
+    params: PatchMatchParams,
+    key: jax.Array,
+    iteration,
+    parity: int,
+) -> PlaneState:
+    """Update all pixels with ``(x + y) % 2 == parity``.
+
+    parity 0 == the reference's "black" kernel, 1 == "red"
+    (BlackPixelUpdate/RedPixelUpdate, ACMMP.cu:1327-1349).
+    """
+    H, W = state.cost.shape
+    xs, ys = grid_coords(H, W)
+    cam = inputs.ref_cam
+    wrap = cam.model == SPHERE
+    k_votes, k_refine = jax.random.split(key)
+
+    # 1. adaptive checkerboard candidates (8 regions)
+    cands = gather_candidates(state.normal, state.w, state.cost, wrap_x=wrap)
+
+    # 2. per-candidate multi-view photometric cost vectors (8, S, H, W)
+    cost_arrays = jax.lax.map(
+        lambda nw: _masked_cost_vector(inputs, ctx, nw[0], nw[1], params),
+        (cands.normal, cands.w),
+    )
+
+    # 3. joint view selection
+    sel = joint_view_selection(
+        cost_arrays, cands.valid, state.selected, inputs.src_valid,
+        params, k_votes, iteration, wrap_x=wrap,
+    )
+
+    # 4. candidate aggregation (+ geometric consistency in geom passes)
+    if params.geom_consistency and inputs.src_depths is not None:
+        geom_arrays = jax.lax.map(
+            lambda nw: _geom_vec(inputs, nw[0], nw[1], xs, ys, params),
+            (cands.normal, cands.w),
+        )
+    else:
+        geom_arrays = None
+
+    def agg_k(k_idx):
+        gv = None if geom_arrays is None else geom_arrays[k_idx]
+        return _aggregate(cost_arrays[k_idx], gv, sel.weights, sel.weight_norm,
+                          params.geom_weight_prop, params)
+
+    final_costs = jnp.stack([agg_k(k) for k in range(8)])      # (8, H, W)
+    final_costs = jnp.where(cands.valid, final_costs, jnp.inf)
+    # pixels with no votes cannot evaluate costs meaningfully
+    no_votes = sel.weight_norm <= 0.0
+
+    # 5. current-plane cost under this half-step's view weights
+    cv_now = _masked_cost_vector(inputs, ctx, state.normal, state.w, params)
+    gv_now = _geom_vec(inputs, state.normal, state.w, xs, ys, params)
+    cost_now0 = _aggregate(cv_now, gv_now, sel.weights, sel.weight_norm,
+                           params.geom_weight_prop, params)
+    cost_now0 = jnp.where(no_votes, state.cost, cost_now0)
+
+    depth_now0 = G.depth_from_plane(cam, xs, ys, state.normal, state.w)
+
+    # 6. propagation acceptance
+    min_idx = jnp.argmin(final_costs, axis=0)                  # (H, W)
+    best_cost = jnp.take_along_axis(final_costs, min_idx[None], 0)[0]
+    take = lambda a: jnp.take_along_axis(a, min_idx[None], 0)[0]
+    best_n = jnp.take_along_axis(
+        cands.normal, min_idx[None, ..., None], 0
+    )[0]
+    best_w = take(cands.w)
+    best_valid = take(cands.valid.astype(jnp.int32)) > 0
+    best_depth = G.depth_from_plane(cam, xs, ys, best_n, best_w)
+    in_range = (best_depth >= params.depth_min) & (best_depth <= params.depth_max)
+
+    if params.planar_prior:
+        prior_depth = G.depth_from_plane(
+            cam, xs, ys, inputs.prior_normal, inputs.prior_w
+        )
+        pw_cand = jax.vmap(
+            lambda n_k, w_k: _prior_weight(
+                G.depth_from_plane(cam, xs, ys, n_k, w_k), n_k,
+                prior_depth, inputs.prior_normal, params)
+        )(cands.normal, cands.w)                                # (8, H, W)
+        restricted_cands = jnp.where(
+            cands.valid, _restricted(final_costs, pw_cand, params), 0.0
+        )
+        max_idx = jnp.argmax(restricted_cands, axis=0)
+        r_take = lambda a: jnp.take_along_axis(a, max_idx[None], 0)[0]
+        rbest = r_take(restricted_cands)
+        rbest_n = jnp.take_along_axis(cands.normal, max_idx[None, ..., None], 0)[0]
+        rbest_w = r_take(cands.w)
+        rbest_cost = r_take(final_costs)
+        rbest_valid = r_take(cands.valid.astype(jnp.int32)) > 0
+        rbest_depth = G.depth_from_plane(cam, xs, ys, rbest_n, rbest_w)
+        r_in_range = (rbest_depth >= params.depth_min) & (rbest_depth <= params.depth_max)
+
+        pw_now = _prior_weight(depth_now0, state.normal, prior_depth,
+                               inputs.prior_normal, params)
+        restricted_now = _restricted(cost_now0, pw_now, params)
+
+        mask = inputs.prior_mask
+        accept_p = mask & rbest_valid & r_in_range & (rbest > restricted_now) & ~no_votes
+        accept_s = ~mask & best_valid & in_range & (best_cost < cost_now0) & ~no_votes
+
+        normal_loc = jnp.where(
+            accept_p[..., None], rbest_n,
+            jnp.where(accept_s[..., None], best_n, state.normal),
+        )
+        w_loc = jnp.where(accept_p, rbest_w, jnp.where(accept_s, best_w, state.w))
+        depth_loc = jnp.where(accept_p, rbest_depth,
+                              jnp.where(accept_s, best_depth, depth_now0))
+        cost_loc = jnp.where(accept_p, rbest_cost,
+                             jnp.where(accept_s, best_cost, cost_now0))
+        # restricted ratchet starts at 0 and is set only on prior acceptance
+        # (reference ACMMP.cu:1246, 1285)
+        restricted_loc = jnp.where(accept_p, rbest, 0.0)
+        # selected_views update only in the masked prior branch
+        # (ACMMP.cu:1286; the mask==0 branch does not update)
+        sel_loc = jnp.where(accept_p[None], sel.temp_selected, state.selected)
+    else:
+        prior_depth = None
+        accept = best_valid & in_range & (best_cost < cost_now0) & ~no_votes
+        normal_loc = jnp.where(accept[..., None], best_n, state.normal)
+        w_loc = jnp.where(accept, best_w, state.w)
+        depth_loc = jnp.where(accept, best_depth, depth_now0)
+        cost_loc = jnp.where(accept, best_cost, cost_now0)
+        restricted_loc = jnp.zeros_like(cost_loc)
+        sel_loc = jnp.where(accept[None], sel.temp_selected, state.selected)
+
+    # 7. refinement
+    normal_f, w_f, _, cost_f, _ = _refinement(
+        inputs, ctx, params, k_refine, xs, ys,
+        normal_loc, w_loc, depth_loc, cost_loc, restricted_loc, sel,
+        prior_depth, None,
+    )
+
+    # 8. hierarchy commit guard (ACMMP.cu:1315-1324) + parity write-back
+    if params.hierarchy:
+        commit = cost_f < state.pre_cost - params.hierarchy_commit_margin
+        normal_f = jnp.where(commit[..., None], normal_f, state.normal)
+        w_f = jnp.where(commit, w_f, state.w)
+        # non-committed pixels keep the re-evaluated current cost
+        # (ACMMP.cu:1244's unconditional store)
+        cost_f = jnp.where(commit, cost_f, cost_now0)
+
+    par = ((xs.astype(jnp.int32) + ys.astype(jnp.int32)) % 2) == parity
+    return PlaneState(
+        normal=jnp.where(par[..., None], normal_f, state.normal),
+        w=jnp.where(par, w_f, state.w),
+        cost=jnp.where(par, cost_f, state.cost),
+        selected=jnp.where(par[None], sel_loc, state.selected),
+        pre_cost=state.pre_cost,
+    )
+
+
+# ---------------------------------------------------------------------------
+# depth/normal extraction (GetDepthandNormal, ACMMP.cu:1351-1364)
+# ---------------------------------------------------------------------------
+
+def extract_depth_and_normal(state: PlaneState, cam: Camera):
+    """Convert the optimised plane field to (depth (H, W), world normal
+    (H, W, 3))."""
+    H, W = state.w.shape
+    xs, ys = grid_coords(H, W)
+    depth = G.depth_from_plane(cam, xs, ys, state.normal, state.w)
+    normal_world = G.normal_cam_to_world(cam, state.normal)
+    return depth, normal_world

@@ -1,0 +1,77 @@
+"""One full PatchMatch pass over a single Problem (device-side driver).
+
+Equivalent of the reference's ``ACMMP::RunPatchMatch`` launch sequence
+(ACMMP.cu:1506-1556): random/seeded init, ``max_iterations`` x (black, red)
+propagation half-steps, depth/normal extraction, black/red median filter.
+The whole pass is one jit-compiled function: XLA sees the complete program and
+fuses across stages; there are no host round-trips between "kernels".
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from acmmp_spherical_tpu.config import PatchMatchParams
+from acmmp_spherical_tpu.core.camera import SPHERE
+from acmmp_spherical_tpu.core.plane import PlaneState
+from acmmp_spherical_tpu.ops.filter import checkerboard_median_filter
+from acmmp_spherical_tpu.ops.ncc import ref_tap_context
+from acmmp_spherical_tpu.ops.propagate import (
+    PatchMatchInputs,
+    checkerboard_halfstep,
+    extract_depth_and_normal,
+    initialize_state,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def run_patchmatch(
+    inputs: PatchMatchInputs,
+    params: PatchMatchParams,
+    key: jax.Array,
+    prev_state: Optional[PlaneState] = None,
+    seed_normal_world: Optional[jax.Array] = None,
+    seed_depth: Optional[jax.Array] = None,
+):
+    """Run one complete pass.
+
+    Returns (depth (H, W), normal_world (H, W, 3), cost (H, W), state).
+    """
+    ctx = ref_tap_context(inputs.ref_image, inputs.ref_cam, params)
+    k_init, k_iters = jax.random.split(key)
+
+    state = initialize_state(
+        inputs, params, k_init,
+        prev_state=prev_state,
+        seed_normal_world=seed_normal_world,
+        seed_depth=seed_depth,
+        ctx=ctx,
+    )
+
+    # scan over the 2*max_iterations half-steps so the big half-step body is
+    # traced/compiled exactly once (the reference re-launches per kernel;
+    # here XLA sees one loop)
+    n_steps = 2 * params.max_iterations
+    step_keys = jax.vmap(lambda i: jax.random.fold_in(k_iters, i))(
+        jnp.arange(n_steps)
+    )
+    iters = jnp.arange(n_steps) // 2
+    parities = jnp.arange(n_steps) % 2
+
+    def step(state, sk):
+        k, it, parity = sk
+        state = checkerboard_halfstep(state, inputs, ctx, params, k, it, parity)
+        return state, None
+
+    state, _ = jax.lax.scan(step, state, (step_keys, iters, parities))
+
+    depth, normal_world = extract_depth_and_normal(state, inputs.ref_cam)
+    depth = checkerboard_median_filter(
+        depth, state.cost, min_cost=params.filter_min_cost,
+        wrap_x=inputs.ref_cam.model == SPHERE,
+    )
+    return depth, normal_world, state.cost, state
