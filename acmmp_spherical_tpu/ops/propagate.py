@@ -156,13 +156,13 @@ def initialize_state(
             k2, cam, xs, ys, inputs.prior_normal, 3.0 * pert * jnp.pi
         )
         use_prior = inputs.prior_mask & (prev_state.cost >= 0.1)
-        # else-branch: keep the previous plane; it arrives as (world normal,
-        # depth) after depth/normal extraction -> rebase to ref-cam frame
-        # (the fork forgot the rebase here; ACMMP.cu:704-710)
-        n_keep = G.normal_world_to_cam(cam, prev_state.normal)
-        w_keep = G.dist_to_origin(cam, xs, ys, prev_state.w, n_keep)
-        normal = jnp.where(use_prior[..., None], n_pert, n_keep)
-        w = jnp.where(use_prior, w_pert, w_keep)
+        # else-branch: keep the previous plane.  Our state never leaves the
+        # optimisation (ref-cam) frame, so no rebase roundtrip is needed (the
+        # reference rebases because its buffer was converted in place by
+        # GetDepthandNormal -- and its prior branch forgets the frame
+        # transform, ACMMP.cu:704-710).
+        normal = jnp.where(use_prior[..., None], n_pert, prev_state.normal)
+        w = jnp.where(use_prior, w_pert, prev_state.w)
     elif params.geom_consistency or params.hierarchy:
         if seed_normal_world is None or seed_depth is None:
             raise ValueError("geom/hierarchy init needs seed fields")

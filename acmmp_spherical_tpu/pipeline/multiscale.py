@@ -1,0 +1,201 @@
+"""Coarse-to-fine pipeline driver.
+
+Equivalent of the reference ``main()`` (main.cpp:392-482): compute per-image
+pyramid settings, then per scale run [planar-prior pass -> 2 geometric passes]
+(the first scale photometric, later scales hierarchy-seeded after a JBU depth
+upsample), and finally fuse all views into a colored point cloud.
+
+Adds what the reference lacks: structured logging, per-pass timings, and
+manifest-based skip-if-complete resume on top of the .dmb checkpoint layer
+(SURVEY.md 5.4).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from acmmp_spherical_tpu.config import PipelineConfig
+from acmmp_spherical_tpu.core.camera import scale_camera, stack_cameras
+from acmmp_spherical_tpu.io import dmb, write_ply
+from acmmp_spherical_tpu.io.scene import (
+    Problem, ScenePaths, load_image_color, load_image_gray, read_camera_file,
+    read_pair_file, is_pass_complete, mark_pass_complete,
+)
+from acmmp_spherical_tpu.ops.fusion import fuse_all_views
+from acmmp_spherical_tpu.ops.jbu import joint_bilateral_upsample
+from acmmp_spherical_tpu.pipeline.pass_runner import process_problem, _pad_stack
+from acmmp_spherical_tpu.utils.log import get_logger, Timings
+
+log = get_logger(__name__)
+
+
+def compute_multiscale_settings(
+    sp: ScenePaths, problems: Sequence[Problem], cfg: PipelineConfig
+) -> int:
+    """Per-image pyramid depth (reference ComputeMultiScaleSettings,
+    main.cpp:35-71). Returns the global max number of downscales."""
+    import cv2
+
+    max_k = -1
+    for p in problems:
+        img = cv2.imread(str(sp.image_file(p.ref_image_id)), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(sp.image_file(p.ref_image_id))
+        max_size = min(max(img.shape[:2]), cfg.patchmatch.max_image_size)
+        p.max_image_size = max_size
+        k = 0
+        while max_size > cfg.size_bound:
+            max_size //= 2
+            k += 1
+        p.num_downscale = k
+        max_k = max(max_k, k)
+    return max_k
+
+
+def joint_bilateral_upsampling_pass(
+    sp: ScenePaths, problem: Problem, target_size: int
+) -> None:
+    """Upsample depths_geom.dmb to the next scale's resolution, writing the
+    depths.dmb seed (reference JointBilateralUpsampling, main.cpp:212-238 +
+    RunJBU, ACMMP.cpp:1071-1122)."""
+    import cv2
+
+    depth = dmb.read_depth_dmb(sp.depth_file(problem.ref_image_id, geom=True))
+    img = load_image_gray(sp.image_file(problem.ref_image_id))
+    h, w = img.shape
+    factor = min(target_size / w, target_size / h)
+    nw, nh = round(w * factor), round(h * factor)
+    guide = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+
+    scale = max(nh // depth.shape[0], nw // depth.shape[1])
+    if scale == 1:
+        log.info("JBU skip (scale ratio 1) image=%08d", problem.ref_image_id)
+        return
+    up = joint_bilateral_upsample(jnp.asarray(depth), jnp.asarray(guide))
+    dmb.write_dmb(sp.depth_file(problem.ref_image_id, geom=False), np.asarray(up))
+
+
+def run_fusion(sp: ScenePaths, problems: Sequence[Problem], cfg: PipelineConfig,
+               *, geom: bool = True) -> int:
+    """Load every view's final results and fuse (RunFusionCuda analog,
+    ACMMP.cu:1817-2105). Returns the number of fused points."""
+    import cv2
+
+    depths, normals, colors, cams, ids = [], [], [], [], []
+    for p in problems:
+        dpath = sp.depth_file(p.ref_image_id, geom=geom)
+        npath = sp.normal_file(p.ref_image_id)
+        if not dpath.exists() or not npath.exists():
+            log.warning("fusion: missing results for %08d, skipping", p.ref_image_id)
+            continue
+        depth = dmb.read_depth_dmb(dpath)
+        normal = dmb.read_normal_dmb(npath)
+        img = load_image_color(sp.image_file(p.ref_image_id))
+        h, w = depth.shape
+        cam = read_camera_file(sp.camera_file(p.ref_image_id))
+        # RescaleImageAndCamera: match image + intrinsics to the depth size
+        sy, sx = h / img.shape[0], w / img.shape[1]
+        if img.shape[:2] != (h, w):
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        cam = scale_camera(cam, sx, sy, w, h)
+        ids.append(p.ref_image_id)
+        depths.append(depth)
+        normals.append(normal)
+        colors.append(img.astype(np.float32))
+        cams.append(cam)
+
+    if not depths:
+        log.warning("fusion: nothing to fuse")
+        return 0
+
+    id_to_index = {im_id: i for i, im_id in enumerate(ids)}
+    K = min(cfg.fusion.max_src_views, cfg.max_src_views)
+    src_idx = np.full((len(ids), K), -1, np.int32)
+    for row, p in enumerate([q for q in problems if q.ref_image_id in id_to_index]):
+        col = 0
+        for sid in p.src_image_ids:
+            if col >= K:
+                break
+            if sid in id_to_index:
+                src_idx[row, col] = id_to_index[sid]
+                col += 1
+
+    dstack = jnp.asarray(_pad_stack(depths))
+    hp, wp = dstack.shape[1:]
+    nstack = np.zeros((len(ids), hp, wp, 3), np.float32)
+    cstack = np.zeros((len(ids), hp, wp, 3), np.float32)
+    for i, (nr, co) in enumerate(zip(normals, colors)):
+        nstack[i, : nr.shape[0], : nr.shape[1]] = nr
+        cstack[i, : co.shape[0], : co.shape[1]] = co
+
+    pts, nrm, col = fuse_all_views(
+        dstack, jnp.asarray(nstack), jnp.asarray(cstack),
+        stack_cameras(cams), src_idx, cfg.fusion,
+    )
+    sp.output_dir.mkdir(parents=True, exist_ok=True)
+    write_ply(sp.ply_file(), pts, nrm, col)
+    log.info("fusion wrote %d points -> %s", len(pts), sp.ply_file())
+    return len(pts)
+
+
+def run_pipeline(root, cfg: PipelineConfig = PipelineConfig()) -> int:
+    """Full coarse-to-fine reconstruction of a scene folder.
+
+    Returns the fused point count.  Mirrors reference main(): per scale,
+    photometric/hierarchy + planar-prior pass, then ``geom_iterations``
+    geometric passes (the 2nd with multi_geometry).
+    """
+    sp = ScenePaths(root)
+    problems = read_pair_file(sp.pair_file)
+    sp.output_dir.mkdir(parents=True, exist_ok=True)
+    log.info("%d problems", len(problems))
+    timings = Timings()
+
+    max_k = compute_multiscale_settings(sp, problems, cfg)
+    first = True
+    scale = max_k
+    while scale >= 0:
+        log.info("=== scale %d ===", scale)
+        for p in problems:
+            if p.num_downscale >= 0:
+                p.cur_image_size = p.max_image_size // (2 ** p.num_downscale)
+                p.num_downscale -= 1
+
+        def _run(idx, *, geom, prior, hier, multi, tag):
+            pid = problems[idx].ref_image_id
+            pass_name = f"{tag}_s{scale}"
+            if cfg.skip_if_complete and is_pass_complete(sp, pass_name, pid):
+                log.info("skip %s image=%08d (complete)", pass_name, pid)
+                return
+            with timings.scope(tag):
+                process_problem(
+                    sp, problems, idx, cfg, geom=geom, planar_prior=prior,
+                    hierarchy=hier, multi_geometry=multi,
+                )
+            mark_pass_complete(sp, pass_name, pid)
+
+        if first:
+            first = False
+            for i in range(len(problems)):
+                _run(i, geom=False, prior=cfg.planar_prior, hier=False,
+                     multi=False, tag="photometric")
+        else:
+            for p in problems:
+                with timings.scope("jbu"):
+                    joint_bilateral_upsampling_pass(sp, p, p.cur_image_size)
+            for i in range(len(problems)):
+                _run(i, geom=False, prior=cfg.planar_prior, hier=True,
+                     multi=False, tag="hierarchy")
+        for gi in range(cfg.geom_iterations):
+            for i in range(len(problems)):
+                _run(i, geom=True, prior=False, hier=False, multi=gi > 0,
+                     tag=f"geom{gi}")
+        scale -= 1
+
+    with timings.scope("fusion"):
+        n = run_fusion(sp, problems, cfg, geom=True)
+    log.info("pipeline timings: %s", timings.summary())
+    return n
