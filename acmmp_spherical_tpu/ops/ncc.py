@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from acmmp_spherical_tpu.config import PatchMatchParams
 from acmmp_spherical_tpu.core.camera import Camera, Cameras, SPHERE
 from acmmp_spherical_tpu.core import geometry as G
-from acmmp_spherical_tpu.ops.sampling import grid_coords, sample_bilinear
+from acmmp_spherical_tpu.ops.sampling import (
+    grid_coords, sample_bilinear, sample_bilinear_packed,
+)
 
 PI = jnp.pi
 
@@ -117,6 +119,7 @@ def multiview_ncc(
     w: jax.Array,            # (H, W)
     ctx: RefTapContext,
     params: PatchMatchParams,
+    src_packed: jax.Array | None = None,  # (S, Hp*Wp, 4) from pack_bilinear
 ) -> jax.Array:
     """Bilateral-NCC cost of one plane field against every source view.
 
@@ -151,13 +154,24 @@ def multiview_ncc(
         d = G.depth_from_plane(ref_cam, xs + dx, ys + dy, normal, w)
         Xt = G.unproject_world(ref_cam, xs + dx, ys + dy, d)  # (H, W, 3)
 
-        def per_view(img, cam):
-            px, py, _ = G.project(cam, Xt)
-            pix, ok = sample_bilinear(img, px, py, cam.width, cam.height,
-                                      wrap_x=src_is_sphere)
-            return pix, ok
+        if src_packed is not None:
+            wp = src_images.shape[-1]
 
-        src_pix, ok = jax.vmap(per_view)(src_images, src_cams)  # (S, H, W)
+            def per_view(packed, cam):
+                px, py, _ = G.project(cam, Xt)
+                return sample_bilinear_packed(
+                    packed, wp, px, py, cam.width, cam.height,
+                    wrap_x=src_is_sphere,
+                )
+
+            src_pix, ok = jax.vmap(per_view)(src_packed, src_cams)  # (S, H, W)
+        else:
+            def per_view(img, cam):
+                px, py, _ = G.project(cam, Xt)
+                return sample_bilinear(img, px, py, cam.width, cam.height,
+                                       wrap_x=src_is_sphere)
+
+            src_pix, ok = jax.vmap(per_view)(src_images, src_cams)  # (S, H, W)
         wv = jnp.where(ok, wgt[None], 0.0)
         s_bw, s_r, s_rr, s_s, s_ss, s_rs = sums
         return (

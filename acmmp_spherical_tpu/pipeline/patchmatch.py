@@ -25,6 +25,7 @@ from acmmp_spherical_tpu.ops.propagate import (
     checkerboard_halfstep,
     extract_depth_and_normal,
     initialize_state,
+    prepare_inputs,
 )
 
 
@@ -41,6 +42,7 @@ def run_patchmatch(
 
     Returns (depth (H, W), normal_world (H, W, 3), cost (H, W), state).
     """
+    inputs = prepare_inputs(inputs)
     ctx = ref_tap_context(inputs.ref_image, inputs.ref_cam, params)
     k_init, k_iters = jax.random.split(key)
 

@@ -63,6 +63,22 @@ class CubeRoom:
         return t, normal
 
 
+def _pixel_ray_np(cam: Camera, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Pure-numpy twin of geometry.pixel_ray (rendering must not dispatch
+    eager device ops: per-op round-trips through a TPU tunnel are seconds)."""
+    if cam.model == SPHERE:
+        params = np.asarray(cam.params)
+        W, H = np.asarray(cam.wh)
+        lon = (xs - params[1]) / W * (2.0 * np.pi)
+        lat = -(ys - params[2]) / H * np.pi
+        cl = np.cos(lat)
+        return np.stack([cl * np.sin(lon), -np.sin(lat), cl * np.cos(lon)], -1)
+    K = np.asarray(cam.K)
+    u = (xs - K[0, 2]) / K[0, 0]
+    v = (ys - K[1, 2]) / K[1, 1]
+    return np.stack([u, v, np.ones_like(u)], -1)
+
+
 def render_view(cam: Camera, scene: CubeRoom, width: int, height: int):
     """Render (image, depth, normal_world) for a camera inside the scene.
 
@@ -70,7 +86,7 @@ def render_view(cam: Camera, scene: CubeRoom, width: int, height: int):
     sphere).  ``image`` is float32 in 0..255 (the loader convention).
     """
     ys, xs = np.mgrid[0:height, 0:width].astype(np.float32)
-    rays_cam = np.asarray(G.pixel_ray(cam, xs, ys))  # (H, W, 3)
+    rays_cam = _pixel_ray_np(cam, xs, ys)  # (H, W, 3)
     R = np.asarray(cam.R)
     C = np.asarray(-R.T @ np.asarray(cam.t))
     rays_world = rays_cam @ R  # R^T applied to each ray

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: depth-maps per second per chip.
+
+Measures the steady-state throughput of the densest unit of work in the
+pipeline -- one full photometric PatchMatch pass (random init + 3 iterations of
+black/red checkerboard propagation with joint view selection and refinement +
+depth extraction + median filter) -- at the reference's coarsest-scale
+operating point (~1000 px images, SURVEY.md section 6) with 8 source views.
+
+Prints exactly one JSON line:
+    {"metric": "depth_maps_per_s_per_chip", "value": ..., "unit": "1024x768x8src photometric passes/s", "vs_baseline": ...}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md).  The
+anchor used here is an estimated 1.0 pass/s for the reference CUDA
+implementation on its stated GTX 1080 Ti at the same operating point (order of
+magnitude from the ACMMP TPAMI'22 paper's reported per-view runtimes); the
+driver-defined target is vs_baseline >= 2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PASSES_PER_S = 1.0  # estimated GTX 1080 Ti reference throughput
+
+
+def main() -> None:
+    small = os.environ.get("ACMMP_BENCH_SMALL") == "1"
+    if small:
+        W, H, n_src, reps = 96, 72, 3, 2
+    else:
+        W, H, n_src, reps = 1024, 768, 8, 3
+
+    import jax
+    import jax.numpy as jnp
+
+    from acmmp_spherical_tpu.config import PatchMatchParams
+    from acmmp_spherical_tpu.core.camera import stack_cameras
+    from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
+    from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
+    from acmmp_spherical_tpu.utils.synthetic import (
+        CubeRoom, make_ring_of_cameras, render_scene,
+    )
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          file=sys.stderr)
+
+    scene = CubeRoom()
+    cams = make_ring_of_cameras(
+        1 + n_src, width=W, height=H, focal=0.9 * W, radius=0.25
+    )
+    t0 = time.perf_counter()
+    images, gt_depth, _ = render_scene(cams, scene, W, H)
+    print(f"[bench] scene render {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    dmin, dmax = np.asarray(cams[0].depth_range)
+    params = PatchMatchParams().with_depth_range(dmin, dmax)
+    images_d = jax.device_put(jnp.asarray(images))
+    inputs = PatchMatchInputs(
+        ref_image=images_d[0],
+        src_images=images_d[1:],
+        ref_cam=cams[0],
+        src_cams=stack_cameras(cams[1:]),
+        src_valid=jnp.ones(n_src, bool),
+    )
+
+    # warm-up / compile
+    t0 = time.perf_counter()
+    out = run_patchmatch(inputs, params, jax.random.key(0))
+    jax.block_until_ready(out)
+    print(f"[bench] compile+first pass {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    # timed steady-state passes
+    times = []
+    for r in range(reps):
+        key = jax.random.key(r + 1)
+        t0 = time.perf_counter()
+        out = run_patchmatch(inputs, params, key)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    depth = np.asarray(out[0])
+    rel = np.abs(depth[8:-8, 8:-8] - gt_depth[0][8:-8, 8:-8]) / gt_depth[0][8:-8, 8:-8]
+    print(f"[bench] pass times: {['%.3f' % t for t in times]}; "
+          f"median rel depth err {np.median(rel):.4f}", file=sys.stderr)
+
+    value = 1.0 / best
+    print(json.dumps({
+        "metric": "depth_maps_per_s_per_chip",
+        "value": round(value, 4),
+        "unit": f"{W}x{H}x{n_src}src photometric passes/s",
+        "vs_baseline": round(value / BASELINE_PASSES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -176,3 +176,40 @@ def test_ncc_jits_and_is_deterministic():
     c1 = f(images, n_cam, w)
     c2 = f(images, n_cam, w)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_packed_sampler_matches_unpacked(rng):
+    from acmmp_spherical_tpu.ops.sampling import pack_bilinear, sample_bilinear_packed
+    for wrap in (False, True):
+        img = jnp.asarray(rng.uniform(0, 255, (13, 17)).astype(np.float32))
+        # logical size smaller than padded
+        Wl, Hl = jnp.float32(15.0), jnp.float32(11.0)
+        packed = pack_bilinear(img, Wl, Hl, wrap_x=wrap)
+        x = jnp.asarray(rng.uniform(-2, 18, (200,)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(-2, 14, (200,)).astype(np.float32))
+        v1, ok1 = sample_bilinear(img, x, y, Wl, Hl, wrap_x=wrap)
+        v2, ok2 = sample_bilinear_packed(packed, 17, x, y, Wl, Hl, wrap_x=wrap)
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+        m = np.asarray(ok1)
+        np.testing.assert_allclose(np.asarray(v1)[m], np.asarray(v2)[m],
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_packed_multiview_ncc_matches_unpacked():
+    cams, images, depths, normals = _scene(PINHOLE, n=3)
+    ref_cam = cams[0]
+    src_cams = stack_cameras(cams[1:])
+    params = PatchMatchParams()
+    H, W = images.shape[1:]
+    from acmmp_spherical_tpu.ops.sampling import grid_coords, pack_bilinear
+    xs, ys = grid_coords(H, W)
+    n_cam = G.normal_world_to_cam(ref_cam, jnp.asarray(normals[0]))
+    w = G.dist_to_origin(ref_cam, xs, ys, jnp.asarray(depths[0]), n_cam)
+    ctx = ref_tap_context(images[0], ref_cam, params)
+    c1 = multiview_ncc(images[1:], src_cams, ref_cam, n_cam, w, ctx, params)
+    packed = jax.vmap(
+        lambda im, wd, ht: pack_bilinear(im, wd, ht, wrap_x=False)
+    )(images[1:], src_cams.width, src_cams.height)
+    c2 = multiview_ncc(images[1:], src_cams, ref_cam, n_cam, w, ctx, params,
+                       src_packed=packed)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-5)
