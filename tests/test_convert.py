@@ -1,0 +1,118 @@
+"""COLMAP converter tests: synthetic sparse model -> scene folder."""
+
+import numpy as np
+import pytest
+
+from acmmp_spherical_tpu.core import geometry as G
+from acmmp_spherical_tpu.io import read_camera_file, read_pair_file
+from acmmp_spherical_tpu.pipeline.colmap import (
+    read_model, rotmat2qvec, qvec2rotmat,
+)
+from acmmp_spherical_tpu.pipeline.convert import ConvertOptions, convert_colmap_scene
+from acmmp_spherical_tpu.utils.synthetic import (
+    CubeRoom, make_ring_of_cameras, render_scene,
+)
+
+
+def test_qvec_roundtrip(rng):
+    for _ in range(5):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        R = qvec2rotmat(q)
+        np.testing.assert_allclose(rotmat2qvec(R), q, atol=1e-8)
+
+
+def _write_synthetic_colmap(root, n_views=5, n_points=400):
+    """Materialise a COLMAP text model of the cube scene with real tracks."""
+    import cv2
+
+    scene = CubeRoom()
+    W, H = 64, 48
+    cams = make_ring_of_cameras(n_views, width=W, height=H, focal=56.0)
+    images, depths, _ = render_scene(cams, scene, W, H)
+
+    rng = np.random.default_rng(0)
+    # sample 3D points on the cube surface via random view pixels + GT depth
+    pts = []
+    for v in range(n_views):
+        xs = rng.uniform(2, W - 3, n_points // n_views)
+        ys = rng.uniform(2, H - 3, n_points // n_views)
+        d = depths[v][ys.astype(int), xs.astype(int)]
+        X = np.asarray(G.unproject_world(cams[v], xs.astype(np.float32),
+                                         ys.astype(np.float32),
+                                         d.astype(np.float32)))
+        pts.append(X)
+    pts = np.concatenate(pts)
+
+    # build tracks: project each point into each view
+    tracks = {i: [] for i in range(len(pts))}
+    obs = {v: [] for v in range(n_views)}
+    for v in range(n_views):
+        px, py, pd = (np.asarray(a) for a in G.project(cams[v], pts))
+        vis = (px >= 0) & (px < W) & (py >= 0) & (py < H) & (pd > 0)
+        for p in np.nonzero(vis)[0]:
+            idx2d = len(obs[v])
+            obs[v].append((px[p], py[p], p + 1))
+            tracks[p].append((v + 1, idx2d))
+
+    sparse = root / "sparse"
+    sparse.mkdir(parents=True)
+    imgdir = root / "images"
+    imgdir.mkdir()
+
+    with open(sparse / "cameras.txt", "w") as f:
+        K = np.asarray(cams[0].K)
+        f.write("# cameras\n")
+        f.write(f"1 PINHOLE {W} {H} {K[0,0]} {K[1,1]} {K[0,2]} {K[1,2]}\n")
+
+    with open(sparse / "images.txt", "w") as f:
+        f.write("# images\n")
+        for v in range(n_views):
+            q = rotmat2qvec(np.asarray(cams[v].R))
+            t = np.asarray(cams[v].t)
+            f.write(f"{v+1} {q[0]} {q[1]} {q[2]} {q[3]} "
+                    f"{t[0]} {t[1]} {t[2]} 1 view{v}.png\n")
+            f.write(" ".join(f"{x} {y} {pid}" for x, y, pid in obs[v]) + "\n")
+            cv2.imwrite(str(imgdir / f"view{v}.png"),
+                        np.clip(images[v], 0, 255).astype(np.uint8))
+
+    with open(sparse / "points3D.txt", "w") as f:
+        f.write("# points\n")
+        for p, X in enumerate(pts):
+            track = tracks[p]
+            if len(track) < 2:
+                continue
+            tr = " ".join(f"{im} {i2d}" for im, i2d in track)
+            f.write(f"{p+1} {X[0]} {X[1]} {X[2]} 128 128 128 0.5 {tr}\n")
+
+    return cams, depths
+
+
+def test_convert_colmap_scene(tmp_path):
+    root = tmp_path / "colmap"
+    root.mkdir()
+    cams, depths = _write_synthetic_colmap(root)
+    out = tmp_path / "scene"
+    convert_colmap_scene(root, out, ConvertOptions(top_k=4, min_shared=5,
+                                                   theta0=0.05))
+
+    problems = read_pair_file(out / "pair.txt")
+    assert len(problems) == 5
+    # every image should have at least 2 neighbours in this dense ring
+    assert all(len(p.src_image_ids) >= 2 for p in problems)
+
+    for i in range(5):
+        cam = read_camera_file(out / "cams" / f"{i:08d}_cam.txt")
+        dmin, dmax = np.asarray(cam.depth_range)
+        gt = depths[i]
+        # depth range brackets most of the scene's true depths
+        assert dmin < np.median(gt) < dmax
+        np.testing.assert_allclose(np.asarray(cam.R), np.asarray(cams[i].R),
+                                   atol=1e-6)
+        assert (out / "images" / f"{i:08d}.jpg").exists()
+
+    # round-trip: the converter's text model parses through read_model
+    c, im, pt = read_model(root / "sparse", ".txt")
+    assert len(c) == 1 and len(im) == 5 and len(pt) > 100
