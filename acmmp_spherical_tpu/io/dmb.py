@@ -22,6 +22,10 @@ _DMB_TYPE_FLOAT = 1
 
 def read_dmb(path: str | os.PathLike) -> np.ndarray:
     """Read a .dmb file -> (h, w) float32 or (h, w, nb) float32 array."""
+    from acmmp_spherical_tpu.io import native
+
+    if native.available():
+        return native.dmb_read(path)
     with open(path, "rb") as f:
         raw = f.read()
     dtype_tag, h, w, nb = _HEADER.unpack_from(raw, 0)
@@ -33,7 +37,12 @@ def read_dmb(path: str | os.PathLike) -> np.ndarray:
 
 def write_dmb(path: str | os.PathLike, array: np.ndarray) -> None:
     """Write an (h, w) or (h, w, nb) float32 array as .dmb."""
+    from acmmp_spherical_tpu.io import native
+
     array = np.ascontiguousarray(array, np.float32)
+    if array.ndim in (2, 3) and native.available():
+        native.dmb_write(path, array)
+        return
     if array.ndim == 2:
         h, w, nb = *array.shape, 1
     elif array.ndim == 3:

@@ -31,6 +31,11 @@ def write_ply(path, points: np.ndarray, normals: np.ndarray, colors: np.ndarray)
     ``points``/``normals``: (N, 3) float; ``colors``: (N, 3) in 0..255 (RGB).
     Non-finite coordinates are zeroed like the reference (ACMMP.cpp:514-518).
     """
+    from acmmp_spherical_tpu.io import native
+
+    if native.available():
+        native.ply_write(path, points, normals, colors)
+        return
     n = len(points)
     points = np.asarray(points, np.float32)
     points = np.where(np.isfinite(points), points, 0.0)

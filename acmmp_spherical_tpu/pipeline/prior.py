@@ -26,6 +26,12 @@ from acmmp_spherical_tpu.core import geometry as G
 
 def get_support_points(cost: np.ndarray, cfg: PriorConfig) -> np.ndarray:
     """(N, 2) int (x, y) minimum-cost support points (ACMMP.cpp:904-930)."""
+    from acmmp_spherical_tpu.io import native
+
+    cost = np.ascontiguousarray(cost, np.float32)
+    if native.available():
+        return native.support_points(cost, cfg.cell_size,
+                                     cfg.support_cost_threshold)
     H, W = cost.shape
     cs = cfg.cell_size
     pts = []
