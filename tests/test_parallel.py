@@ -40,3 +40,35 @@ def test_view_parallel_deterministic():
     d1, *_ = step(batch, jax.random.key(3))
     d2, *_ = step(batch, jax.random.key(3))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_tile_parallel_matches_single_device():
+    """Width-sharded pass must produce exactly the same result as unsharded
+    (GSPMD halo exchange is semantics-preserving)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from acmmp_spherical_tpu.parallel.tile import tile_parallel_pass
+    from acmmp_spherical_tpu.parallel.synthetic_batch import make_synthetic_batch
+    from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
+
+    batch, params, gt = make_synthetic_batch(4, width=64, height=32, n_src=3)
+    inputs = PatchMatchInputs(
+        ref_image=batch.images[0, 0],
+        src_images=batch.images[0, 1:],
+        ref_cam=jax.tree.map(lambda a: a[0, 0], batch.cams),
+        src_cams=jax.tree.map(lambda a: a[0, 1:], batch.cams),
+        src_valid=batch.src_valid[0],
+    )
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]), ("tile",))
+    run4 = tile_parallel_pass(mesh4, params, n_iterations=1)
+    d4, n4, c4 = run4(inputs, jax.random.key(0))
+    assert len(d4.sharding.device_set) == 4
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("tile",))
+    run1 = tile_parallel_pass(mesh1, params, n_iterations=1)
+    d1, n1, c1 = run1(inputs, jax.random.key(0))
+
+    np.testing.assert_allclose(np.asarray(d4), np.asarray(d1), rtol=1e-5,
+                               atol=1e-4)
+    rel = np.abs(np.asarray(d4) - gt[0]) / gt[0]
+    assert np.median(rel) < 0.25
