@@ -72,3 +72,36 @@ def test_tile_parallel_matches_single_device():
                                atol=1e-4)
     rel = np.abs(np.asarray(d4) - gt[0]) / gt[0]
     assert np.median(rel) < 0.25
+
+
+def test_sharded_fusion_matches_single_device():
+    from acmmp_spherical_tpu.config import FusionParams
+    from acmmp_spherical_tpu.core.camera import PINHOLE, stack_cameras
+    from acmmp_spherical_tpu.ops.fusion import fuse_all_views
+    from acmmp_spherical_tpu.parallel.fusion import fuse_all_views_sharded
+    from acmmp_spherical_tpu.utils.synthetic import (
+        CubeRoom, make_ring_of_cameras, render_scene,
+    )
+    from jax.sharding import Mesh
+    import jax.numpy as jnp
+
+    scene = CubeRoom()
+    W, H, n = 48, 36, 5
+    cams = make_ring_of_cameras(n, model=PINHOLE, width=W, height=H, focal=44.0)
+    images, depths, normals = render_scene(cams, scene, W, H)
+    colors = np.repeat(images[..., None], 3, axis=-1)
+    src_idx = np.array([[j for j in range(n) if j != i] for i in range(n)],
+                       np.int32)
+
+    p1, n1, c1 = fuse_all_views(
+        jnp.asarray(depths), jnp.asarray(normals), jnp.asarray(colors),
+        stack_cameras(cams), src_idx, FusionParams(),
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("view",))
+    p2, n2, c2 = fuse_all_views_sharded(
+        mesh, jnp.asarray(depths), jnp.asarray(normals), jnp.asarray(colors),
+        stack_cameras(cams), src_idx, FusionParams(),
+    )
+    assert len(p1) == len(p2)
+    np.testing.assert_allclose(np.sort(p1, axis=0), np.sort(p2, axis=0),
+                               atol=1e-4)
