@@ -188,6 +188,16 @@ def angle_between(n1: jax.Array, n2: jax.Array) -> jax.Array:
     return jnp.arccos(d)
 
 
+def disparity(cam: Camera, x: jax.Array, y: jax.Array, depth: jax.Array) -> jax.Array:
+    """Range-to-camera for a pixel at ``depth`` (reference GetDisparity,
+    ACMMP.cpp:536-546): radial distance for pinhole (||K^-1 p * z||), the
+    depth itself for sphere (already radial)."""
+    if cam.model == SPHERE:
+        return depth
+    X = unproject_cam(cam, x, y, depth)
+    return jnp.linalg.norm(X, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # homography (pinhole pairs; vestigial in the reference cost path but part of
 # the public surface -- reference ComputeHomography, ACMMP.cu:307-367)

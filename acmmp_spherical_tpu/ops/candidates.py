@@ -7,8 +7,13 @@ V-shaped "near" regions and four 2-px-strided "far" strips along the axes.
 TPU-native form: each region's candidate search is an elementwise argmin over a
 fixed set of statically *shifted* cost maps (cheap pad+slice copies, no
 gathers), then the winning neighbour's plane is selected with the same shifts.
-All stencil offsets have odd |dx|+|dy|, so candidates always come from the
-opposite checkerboard colour (the red-black invariant; SURVEY.md section 5.2).
+
+Concurrency note: the base offsets and far strips reach the opposite
+checkerboard colour, but the fork's V-region extras (dy = -(2+i), dx = -+i;
+ACMMP.cu:1047-1061) land on the SAME colour -- in the CUDA kernel those are
+racy same-launch reads that may observe either the old or the just-updated
+neighbour.  Our functional half-step always reads the pre-halfstep state: a
+deterministic serialization of the reference's race envelope (SURVEY.md 5.2).
 
 For spherical cameras the x axis is a longitude ring: shifts wrap, so
 propagation crosses the seam (the reference's linear indexing cannot; a

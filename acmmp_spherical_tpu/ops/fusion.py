@@ -107,6 +107,72 @@ def fuse_reference_view(
     return flat(pt), flat(nm), flat(cl), flat(valid)
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def fuse_reference_view_dynamic(
+    depths: jax.Array,
+    normals: jax.Array,
+    colors: jax.Array,
+    cams: Cameras,
+    ref_idx: jax.Array,
+    src_indices: jax.Array,
+    params: FusionParams,
+):
+    """The reference's *CPU* fusion variant (``RunFusion``, main.cpp:240-390;
+    dead code there, provided here for capability parity as an alternative
+    mode): looser thresholds (reproj < 2 px, normal angle < 0.174533 rad),
+    acceptance when ``n >= 1`` consistent sources AND the dynamic-consistency
+    score ``sum(exp(-(err + 200*rel_dd + 10*angle)))`` exceeds ``0.3 * n``.
+    Emits the *reference* point (no averaging), like the CPU path.  The CPU
+    path's cross-view pixel masking is order-dependent and intentionally
+    dropped (the GPU path dropped it too; SURVEY.md section 7).
+    """
+    V, Hp, Wp = depths.shape
+    ref_cam = camera_index(cams, ref_idx)
+    xs, ys = grid_coords(Hp, Wp)
+    in_ref = (xs < ref_cam.width) & (ys < ref_cam.height)
+    ref_depth = depths[ref_idx]
+    ref_normal = normals[ref_idx]
+    ref_color = colors[ref_idx]
+    has_depth = (ref_depth > 0.0) & in_ref
+    X = G.unproject_world(ref_cam, xs, ys, ref_depth)
+
+    def per_src(src_i):
+        cam = camera_index(cams, src_i)
+        px, py, pd = G.project(cam, X)
+        xi = jnp.floor(px + 0.5).astype(jnp.int32)
+        yi = jnp.floor(py + 0.5).astype(jnp.int32)
+        ok = (
+            (src_i >= 0)
+            & (xi >= 0) & (xi < cam.width.astype(jnp.int32))
+            & (yi >= 0) & (yi < cam.height.astype(jnp.int32))
+        )
+        xi = jnp.clip(xi, 0, Wp - 1)
+        yi = jnp.clip(yi, 0, Hp - 1)
+        si = jnp.maximum(src_i, 0)
+        src_d = depths[si][yi, xi]
+        ok = ok & (src_d > 0.0)
+        Xs = G.unproject_world(cam, xi.astype(jnp.float32),
+                               yi.astype(jnp.float32), src_d)
+        bx, by, _ = G.project(ref_cam, Xs)
+        reproj = jnp.sqrt((xs - bx) ** 2 + (ys - by) ** 2)
+        # CPU path compares the projected depth against the *reference* depth
+        # (main.cpp:341), unlike the GPU path's source depth
+        rel_dd = jnp.abs(pd - ref_depth) / jnp.maximum(ref_depth, 1e-20)
+        angle = G.angle_between(ref_normal, normals[si][yi, xi])
+        consistent = ok & (reproj < 2.0) & (rel_dd < 0.01) & (angle < 0.174533)
+        score = jnp.where(
+            consistent, jnp.exp(-(reproj + 200.0 * rel_dd + 10.0 * angle)), 0.0
+        )
+        return consistent.astype(jnp.float32), score
+
+    n_con, scores = jax.vmap(per_src)(src_indices)
+    num = jnp.sum(n_con, axis=0)
+    dyn = jnp.sum(scores, axis=0)
+    valid = has_depth & (num >= 1) & (dyn > 0.3 * num)
+    flat = lambda a: a.reshape(-1, a.shape[-1]) if a.ndim == 3 else a.reshape(-1)
+    return flat(X), flat(ref_normal), flat(ref_color), flat(valid)
+
+
 def fuse_all_views(
     depths, normals, colors, cams, problems_src_indices, params: FusionParams
 ):

@@ -170,12 +170,26 @@ def run_pipeline(root, cfg: PipelineConfig = PipelineConfig()) -> int:
             if cfg.skip_if_complete and is_pass_complete(sp, pass_name, pid):
                 log.info("skip %s image=%08d (complete)", pass_name, pid)
                 return
-            with timings.scope(tag):
-                process_problem(
-                    sp, problems, idx, cfg, geom=geom, planar_prior=prior,
-                    hierarchy=hier, multi_geometry=multi,
-                )
-            mark_pass_complete(sp, pass_name, pid)
+            # per-problem retry: outputs are idempotent (SURVEY.md 5.3), so a
+            # transient device failure costs at most one pass re-run; a second
+            # failure skips the view (fusion tolerates missing inputs).
+            for attempt in range(2):
+                try:
+                    with timings.scope(tag):
+                        process_problem(
+                            sp, problems, idx, cfg, geom=geom,
+                            planar_prior=prior, hierarchy=hier,
+                            multi_geometry=multi,
+                        )
+                    mark_pass_complete(sp, pass_name, pid)
+                    return
+                except Exception:
+                    if attempt == 0:
+                        log.exception("pass %s image=%08d failed; retrying",
+                                      pass_name, pid)
+                    else:
+                        log.exception("pass %s image=%08d failed twice; "
+                                      "skipping view", pass_name, pid)
 
         if first:
             first = False
