@@ -29,12 +29,38 @@ import numpy as np
 BASELINE_PASSES_PER_S = 1.0  # estimated GTX 1080 Ti reference throughput
 
 
+def _probe_device() -> bool:
+    """Check in a subprocess that the default jax platform can run an op
+    (the TPU tunnel can wedge in a way that hangs the process forever)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jnp.ones(3).block_until_ready()"],
+            timeout=180, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     small = os.environ.get("ACMMP_BENCH_SMALL") == "1"
     if small:
         W, H, n_src, reps = 96, 72, 3, 2
     else:
         W, H, n_src, reps = 1024, 768, 8, 3
+
+    if not _probe_device():
+        print("[bench] default platform unavailable; falling back to CPU",
+              file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        if not small:
+            W, H, n_src, reps = 256, 192, 4, 2  # keep CPU fallback feasible
 
     import jax
     import jax.numpy as jnp
