@@ -50,7 +50,7 @@ def main() -> None:
     if small:
         W, H, n_src, reps = 96, 72, 3, 2
     else:
-        W, H, n_src, reps = 1024, 768, 8, 3
+        W, H, n_src, reps = 1024, 768, 8, 2
 
     if not _probe_device():
         print("[bench] default platform unavailable; falling back to CPU",
