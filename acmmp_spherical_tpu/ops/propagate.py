@@ -42,7 +42,11 @@ from acmmp_spherical_tpu.core.camera import Camera, Cameras, SPHERE
 from acmmp_spherical_tpu.core import geometry as G
 from acmmp_spherical_tpu.core.plane import PlaneState
 from acmmp_spherical_tpu.ops import rng as R
-from acmmp_spherical_tpu.ops.candidates import gather_candidates
+from acmmp_spherical_tpu.ops.candidates import (
+    Candidates,
+    NEAR_REGION_INDICES,
+    gather_candidates,
+)
 from acmmp_spherical_tpu.ops.geom import geom_consistency_cost
 from acmmp_spherical_tpu.ops.ncc import (
     RefTapContext,
@@ -50,8 +54,16 @@ from acmmp_spherical_tpu.ops.ncc import (
     ref_tap_context,
     topk_cost_and_selection,
 )
-from acmmp_spherical_tpu.ops.sampling import grid_coords
-from acmmp_spherical_tpu.ops.view_select import joint_view_selection
+from acmmp_spherical_tpu.ops.sampling import (
+    checkerboard_coords,
+    checkerboard_pack,
+    checkerboard_unpack,
+    grid_coords,
+)
+from acmmp_spherical_tpu.ops.view_select import (
+    joint_view_selection,
+    view_selection_priors,
+)
 
 
 class PatchMatchInputs(NamedTuple):
@@ -207,8 +219,8 @@ def initialize_state(
 
 def _refinement(
     inputs, ctx, params, key, xs, ys,
-    normal, w, depth, cost, restricted, sel: "joint view selection result",
-    prior_depth, prior_wt_args,
+    normal, w, depth, cost, restricted, sel,
+    prior_normal, prior_mask, prior_depth,
 ):
     """Sequentially ratchet through the 5 refinement candidates.
 
@@ -223,7 +235,7 @@ def _refinement(
     depth_sigma = (params.depth_max - params.depth_min) / params.prior_depth_sigma_div
 
     if params.planar_prior:
-        has_prior = inputs.prior_mask
+        has_prior = prior_mask
         # prior-guided random sampling (ACMMP.cu:830-836)
         lo_p = jnp.maximum(prior_depth - 3.0 * depth_sigma, params.depth_min)
         hi_p = jnp.minimum(prior_depth + 3.0 * depth_sigma, params.depth_max)
@@ -232,7 +244,7 @@ def _refinement(
         d_rand_free = R.sample_depth_inv(u, params.depth_min, params.depth_max)
         depth_rand = jnp.where(has_prior, d_rand_prior, d_rand_free)
         n_rand_prior = R.perturbed_normal(
-            k_rn, cam, xs, ys, inputs.prior_normal, params.prior_angle_sigma
+            k_rn, cam, xs, ys, prior_normal, params.prior_angle_sigma
         )
         n_rand_free = R.random_normal_toward_viewer(k_rn, cam, xs, ys)
         normal_rand = jnp.where(has_prior[..., None], n_rand_prior, n_rand_free)
@@ -288,11 +300,11 @@ def _refinement(
                 # NOTE: prior weighting uses the *sampled* candidate depth
                 # table value in the fork (depths[i]); the plane-at-pixel
                 # depth d_i equals it by construction of cand_w.
-                d_i, n_i, prior_depth, inputs.prior_normal, params
+                d_i, n_i, prior_depth, prior_normal, params
             )
             r_i = _restricted(c_i, pw, params)
-            accept_p = valid & inputs.prior_mask & (r_i > r_cur)
-            accept_s = valid & ~inputs.prior_mask & (c_i < c_cur)
+            accept_p = valid & prior_mask & (r_i > r_cur)
+            accept_s = valid & ~prior_mask & (c_i < c_cur)
             accept = accept_p | accept_s
             r_new = jnp.where(accept_p, r_i, r_cur)
         else:
@@ -316,30 +328,30 @@ def _refinement(
 # one red/black half-step
 # ---------------------------------------------------------------------------
 
-def checkerboard_halfstep(
-    state: PlaneState,
-    inputs: PatchMatchInputs,
-    ctx: RefTapContext,
-    params: PatchMatchParams,
-    key: jax.Array,
-    iteration,
-    parity: int,
-) -> PlaneState:
-    """Update all pixels with ``(x + y) % 2 == parity``.
+def _pack_hw(a, parity, *, channels_last=False):
+    """checkerboard_pack for fields with optional trailing channel axis."""
+    if channels_last:
+        return jnp.moveaxis(
+            checkerboard_pack(jnp.moveaxis(a, -1, 0), parity), 0, -1
+        )
+    return checkerboard_pack(a, parity)
 
-    parity 0 == the reference's "black" kernel, 1 == "red"
-    (BlackPixelUpdate/RedPixelUpdate, ACMMP.cu:1327-1349).
+
+def _halfstep_core(
+    inputs, ctx, params, key, iteration, xs, ys,
+    cur_normal, cur_w, cur_cost, cur_pre_cost, cur_selected,
+    cands: Candidates, priors, prior_normal, prior_w, prior_mask,
+):
+    """The grid-agnostic propagation + refinement update.
+
+    All spatial fields share one grid shape (the packed half-grid in the fast
+    path, the full grid in the fallback).  Returns the updated
+    (normal, w, cost, selected) for every position of that grid.
     """
-    H, W = state.cost.shape
-    xs, ys = grid_coords(H, W)
     cam = inputs.ref_cam
-    wrap = cam.model == SPHERE
     k_votes, k_refine = jax.random.split(key)
 
-    # 1. adaptive checkerboard candidates (8 regions)
-    cands = gather_candidates(state.normal, state.w, state.cost, wrap_x=wrap)
-
-    # 2. per-candidate multi-view photometric cost vectors (8, S, H, W)
+    # 2. per-candidate multi-view photometric cost vectors (8, S, ...)
     cost_arrays = jax.lax.map(
         lambda nw: _masked_cost_vector(inputs, ctx, nw[0], nw[1], params),
         (cands.normal, cands.w),
@@ -347,8 +359,8 @@ def checkerboard_halfstep(
 
     # 3. joint view selection
     sel = joint_view_selection(
-        cost_arrays, cands.valid, state.selected, inputs.src_valid,
-        params, k_votes, iteration, wrap_x=wrap,
+        cost_arrays, cands.valid, priors, inputs.src_valid,
+        params, k_votes, iteration,
     )
 
     # 4. candidate aggregation (+ geometric consistency in geom passes)
@@ -365,41 +377,37 @@ def checkerboard_halfstep(
         return _aggregate(cost_arrays[k_idx], gv, sel.weights, sel.weight_norm,
                           params.geom_weight_prop, params)
 
-    final_costs = jnp.stack([agg_k(k) for k in range(8)])      # (8, H, W)
+    final_costs = jnp.stack([agg_k(k) for k in range(8)])      # (8, ...)
     final_costs = jnp.where(cands.valid, final_costs, jnp.inf)
-    # pixels with no votes cannot evaluate costs meaningfully
+    # positions with no votes cannot evaluate costs meaningfully
     no_votes = sel.weight_norm <= 0.0
 
     # 5. current-plane cost under this half-step's view weights
-    cv_now = _masked_cost_vector(inputs, ctx, state.normal, state.w, params)
-    gv_now = _geom_vec(inputs, state.normal, state.w, xs, ys, params)
+    cv_now = _masked_cost_vector(inputs, ctx, cur_normal, cur_w, params)
+    gv_now = _geom_vec(inputs, cur_normal, cur_w, xs, ys, params)
     cost_now0 = _aggregate(cv_now, gv_now, sel.weights, sel.weight_norm,
                            params.geom_weight_prop, params)
-    cost_now0 = jnp.where(no_votes, state.cost, cost_now0)
+    cost_now0 = jnp.where(no_votes, cur_cost, cost_now0)
 
-    depth_now0 = G.depth_from_plane(cam, xs, ys, state.normal, state.w)
+    depth_now0 = G.depth_from_plane(cam, xs, ys, cur_normal, cur_w)
 
     # 6. propagation acceptance
-    min_idx = jnp.argmin(final_costs, axis=0)                  # (H, W)
-    best_cost = jnp.take_along_axis(final_costs, min_idx[None], 0)[0]
+    min_idx = jnp.argmin(final_costs, axis=0)
     take = lambda a: jnp.take_along_axis(a, min_idx[None], 0)[0]
-    best_n = jnp.take_along_axis(
-        cands.normal, min_idx[None, ..., None], 0
-    )[0]
+    best_cost = take(final_costs)
+    best_n = jnp.take_along_axis(cands.normal, min_idx[None, ..., None], 0)[0]
     best_w = take(cands.w)
     best_valid = take(cands.valid.astype(jnp.int32)) > 0
     best_depth = G.depth_from_plane(cam, xs, ys, best_n, best_w)
     in_range = (best_depth >= params.depth_min) & (best_depth <= params.depth_max)
 
     if params.planar_prior:
-        prior_depth = G.depth_from_plane(
-            cam, xs, ys, inputs.prior_normal, inputs.prior_w
-        )
+        prior_depth = G.depth_from_plane(cam, xs, ys, prior_normal, prior_w)
         pw_cand = jax.vmap(
             lambda n_k, w_k: _prior_weight(
                 G.depth_from_plane(cam, xs, ys, n_k, w_k), n_k,
-                prior_depth, inputs.prior_normal, params)
-        )(cands.normal, cands.w)                                # (8, H, W)
+                prior_depth, prior_normal, params)
+        )(cands.normal, cands.w)                                # (8, ...)
         restricted_cands = jnp.where(
             cands.valid, _restricted(final_costs, pw_cand, params), 0.0
         )
@@ -413,19 +421,19 @@ def checkerboard_halfstep(
         rbest_depth = G.depth_from_plane(cam, xs, ys, rbest_n, rbest_w)
         r_in_range = (rbest_depth >= params.depth_min) & (rbest_depth <= params.depth_max)
 
-        pw_now = _prior_weight(depth_now0, state.normal, prior_depth,
-                               inputs.prior_normal, params)
+        pw_now = _prior_weight(depth_now0, cur_normal, prior_depth,
+                               prior_normal, params)
         restricted_now = _restricted(cost_now0, pw_now, params)
 
-        mask = inputs.prior_mask
+        mask = prior_mask
         accept_p = mask & rbest_valid & r_in_range & (rbest > restricted_now) & ~no_votes
         accept_s = ~mask & best_valid & in_range & (best_cost < cost_now0) & ~no_votes
 
         normal_loc = jnp.where(
             accept_p[..., None], rbest_n,
-            jnp.where(accept_s[..., None], best_n, state.normal),
+            jnp.where(accept_s[..., None], best_n, cur_normal),
         )
-        w_loc = jnp.where(accept_p, rbest_w, jnp.where(accept_s, best_w, state.w))
+        w_loc = jnp.where(accept_p, rbest_w, jnp.where(accept_s, best_w, cur_w))
         depth_loc = jnp.where(accept_p, rbest_depth,
                               jnp.where(accept_s, best_depth, depth_now0))
         cost_loc = jnp.where(accept_p, rbest_cost,
@@ -435,39 +443,113 @@ def checkerboard_halfstep(
         restricted_loc = jnp.where(accept_p, rbest, 0.0)
         # selected_views update only in the masked prior branch
         # (ACMMP.cu:1286; the mask==0 branch does not update)
-        sel_loc = jnp.where(accept_p[None], sel.temp_selected, state.selected)
+        sel_loc = jnp.where(accept_p[None], sel.temp_selected, cur_selected)
     else:
         prior_depth = None
         accept = best_valid & in_range & (best_cost < cost_now0) & ~no_votes
-        normal_loc = jnp.where(accept[..., None], best_n, state.normal)
-        w_loc = jnp.where(accept, best_w, state.w)
+        normal_loc = jnp.where(accept[..., None], best_n, cur_normal)
+        w_loc = jnp.where(accept, best_w, cur_w)
         depth_loc = jnp.where(accept, best_depth, depth_now0)
         cost_loc = jnp.where(accept, best_cost, cost_now0)
         restricted_loc = jnp.zeros_like(cost_loc)
-        sel_loc = jnp.where(accept[None], sel.temp_selected, state.selected)
+        sel_loc = jnp.where(accept[None], sel.temp_selected, cur_selected)
 
     # 7. refinement
     normal_f, w_f, _, cost_f, _ = _refinement(
         inputs, ctx, params, k_refine, xs, ys,
         normal_loc, w_loc, depth_loc, cost_loc, restricted_loc, sel,
-        prior_depth, None,
+        prior_normal, prior_mask, prior_depth,
     )
 
-    # 8. hierarchy commit guard (ACMMP.cu:1315-1324) + parity write-back
+    # 8. hierarchy commit guard (ACMMP.cu:1315-1324)
     if params.hierarchy:
-        commit = cost_f < state.pre_cost - params.hierarchy_commit_margin
-        normal_f = jnp.where(commit[..., None], normal_f, state.normal)
-        w_f = jnp.where(commit, w_f, state.w)
-        # non-committed pixels keep the re-evaluated current cost
+        commit = cost_f < cur_pre_cost - params.hierarchy_commit_margin
+        normal_f = jnp.where(commit[..., None], normal_f, cur_normal)
+        w_f = jnp.where(commit, w_f, cur_w)
+        # non-committed positions keep the re-evaluated current cost
         # (ACMMP.cu:1244's unconditional store)
         cost_f = jnp.where(commit, cost_f, cost_now0)
 
+    return normal_f, w_f, cost_f, sel_loc
+
+
+def checkerboard_halfstep(
+    state: PlaneState,
+    inputs: PatchMatchInputs,
+    ctx: RefTapContext,
+    params: PatchMatchParams,
+    key: jax.Array,
+    iteration,
+    parity: int,
+) -> PlaneState:
+    """Update all pixels with ``(x + y) % 2 == parity``.
+
+    parity 0 == the reference's "black" kernel, 1 == "red"
+    (BlackPixelUpdate/RedPixelUpdate, ACMMP.cu:1327-1349).  ``parity`` must be
+    a static Python int.
+
+    Fast path: when H and W are even, the active colour is packed into a dense
+    (H, W/2) half-grid before the expensive multi-view cost evaluations --
+    halving the sampling work exactly like the reference's half-lattice kernel
+    launches.  Candidate gathering and the neighbour priors stay on the full
+    grid (cheap shifts).
+    """
+    H, W = state.cost.shape
+    cam = inputs.ref_cam
+    wrap = cam.model == SPHERE
+
+    # 1. adaptive checkerboard candidates + neighbour priors (full grid)
+    cands = gather_candidates(state.normal, state.w, state.cost, wrap_x=wrap)
+    near_valid = cands.valid[jnp.asarray(NEAR_REGION_INDICES)]
+    priors = view_selection_priors(state.selected, near_valid, params,
+                                   wrap_x=wrap)
+
+    has_prior = params.planar_prior and inputs.prior_normal is not None
+    if H % 2 == 0 and W % 2 == 0:
+        P = lambda a: checkerboard_pack(a, parity)
+        Pc = lambda a: _pack_hw(a, parity, channels_last=True)
+        xs_p, ys_p = checkerboard_coords(H, W, parity)
+        ctx_p = ctx._replace(
+            ref_taps=P(ctx.ref_taps), weights=P(ctx.weights),
+            center=P(ctx.center), xs=xs_p, ys=ys_p,
+        )
+        cands_p = Candidates(normal=Pc(cands.normal), w=P(cands.w),
+                             valid=P(cands.valid))
+        normal_f, w_f, cost_f, sel_f = _halfstep_core(
+            inputs, ctx_p, params, key, iteration, xs_p, ys_p,
+            Pc(state.normal), P(state.w), P(state.cost), P(state.pre_cost),
+            P(state.selected), cands_p, P(priors),
+            Pc(inputs.prior_normal) if has_prior else None,
+            P(inputs.prior_w) if has_prior else None,
+            P(inputs.prior_mask) if has_prior else None,
+        )
+        return PlaneState(
+            normal=jnp.moveaxis(
+                checkerboard_unpack(jnp.moveaxis(normal_f, -1, 0),
+                                    jnp.moveaxis(state.normal, -1, 0), parity),
+                0, -1),
+            w=checkerboard_unpack(w_f, state.w, parity),
+            cost=checkerboard_unpack(cost_f, state.cost, parity),
+            selected=checkerboard_unpack(sel_f, state.selected, parity),
+            pre_cost=state.pre_cost,
+        )
+
+    # fallback: odd dimensions -> full-grid compute, parity-masked commit
+    xs, ys = grid_coords(H, W)
+    normal_f, w_f, cost_f, sel_f = _halfstep_core(
+        inputs, ctx, params, key, iteration, xs, ys,
+        state.normal, state.w, state.cost, state.pre_cost, state.selected,
+        cands, priors,
+        inputs.prior_normal if has_prior else None,
+        inputs.prior_w if has_prior else None,
+        inputs.prior_mask if has_prior else None,
+    )
     par = ((xs.astype(jnp.int32) + ys.astype(jnp.int32)) % 2) == parity
     return PlaneState(
         normal=jnp.where(par[..., None], normal_f, state.normal),
         w=jnp.where(par, w_f, state.w),
         cost=jnp.where(par, cost_f, state.cost),
-        selected=jnp.where(par[None], sel_loc, state.selected),
+        selected=jnp.where(par[None], sel_f, state.selected),
         pre_cost=state.pre_cost,
     )
 

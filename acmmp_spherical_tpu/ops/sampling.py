@@ -266,6 +266,40 @@ def shift2d(
     return out
 
 
+def checkerboard_pack(arr: jax.Array, parity: int) -> jax.Array:
+    """Pack the checkerboard colour ``(x + y) % 2 == parity`` into a dense
+    half-grid: ``(..., H, W) -> (..., H, W//2)`` with rows preserved.
+
+    Row y keeps columns ``x = (parity + y) % 2, +2, ...``.  H and W must be
+    even.  This is how the red-black update avoids evaluating costs for the
+    inactive colour (the reference's separate black/red kernel launches,
+    ACMMP.cu:1327-1349, achieve the same by construction).
+    """
+    H, W = arr.shape[-2], arr.shape[-1]
+    assert H % 2 == 0 and W % 2 == 0, (H, W)
+    even = arr[..., 0::2, parity::2]
+    odd = arr[..., 1::2, (1 - parity)::2]
+    stacked = jnp.stack([even, odd], axis=-2)  # (..., H/2, 2, W/2)
+    return stacked.reshape(*arr.shape[:-2], H, W // 2)
+
+
+def checkerboard_unpack(packed: jax.Array, full: jax.Array, parity: int) -> jax.Array:
+    """Scatter a packed half-grid back into ``full`` at its colour's pixels."""
+    H, W = full.shape[-2], full.shape[-1]
+    pr = packed.reshape(*packed.shape[:-2], H // 2, 2, W // 2)
+    even = pr[..., 0, :]
+    odd = pr[..., 1, :]
+    out = full.at[..., 0::2, parity::2].set(even)
+    out = out.at[..., 1::2, (1 - parity)::2].set(odd)
+    return out
+
+
+def checkerboard_coords(height: int, width: int, parity: int):
+    """(xs, ys) pixel coordinates of the packed half-grid, (H, W//2) each."""
+    xs, ys = grid_coords(height, width)
+    return checkerboard_pack(xs, parity), checkerboard_pack(ys, parity)
+
+
 def shift_valid_mask(height: int, width: int, dy: int, dx: int) -> jax.Array:
     """Boolean mask of pixels whose (y+dy, x+dx) neighbour is in bounds."""
     xs, ys = grid_coords(height, width, jnp.int32)

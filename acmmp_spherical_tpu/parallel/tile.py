@@ -61,15 +61,17 @@ def tile_parallel_pass(mesh: Mesh, params: PatchMatchParams,
         state = shard_state(initialize_state(inputs, params, key, ctx=ctx))
 
         def step(state, sk):
-            k, it, parity = sk
-            state = checkerboard_halfstep(state, inputs, ctx, params, k, it, parity)
+            k, it = sk
+            k0, k1 = jax.random.split(k)
+            state = checkerboard_halfstep(state, inputs, ctx, params, k0, it, 0)
+            state = shard_state(state)
+            state = checkerboard_halfstep(state, inputs, ctx, params, k1, it, 1)
             return shard_state(state), None
 
-        n = 2 * n_iterations
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i + 1))(jnp.arange(n))
-        state, _ = jax.lax.scan(
-            step, state, (keys, jnp.arange(n) // 2, jnp.arange(n) % 2)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i + 1))(
+            jnp.arange(n_iterations)
         )
+        state, _ = jax.lax.scan(step, state, (keys, jnp.arange(n_iterations)))
         depth, normal = extract_depth_and_normal(state, inputs.ref_cam)
         return depth, normal, state.cost
 

@@ -68,14 +68,16 @@ def _photometric_pass(images, cams, src_valid, params, key, n_iterations):
     state = initialize_state(inputs, params, key, ctx=ctx)
 
     def step(state, sk):
-        k, it, parity = sk
-        return checkerboard_halfstep(state, inputs, ctx, params, k, it, parity), None
+        k, it = sk
+        k0, k1 = jax.random.split(k)
+        state = checkerboard_halfstep(state, inputs, ctx, params, k0, it, 0)
+        state = checkerboard_halfstep(state, inputs, ctx, params, k1, it, 1)
+        return state, None
 
-    n = 2 * n_iterations
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i + 1))(jnp.arange(n))
-    state, _ = jax.lax.scan(
-        step, state, (keys, jnp.arange(n) // 2, jnp.arange(n) % 2)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i + 1))(
+        jnp.arange(n_iterations)
     )
+    state, _ = jax.lax.scan(step, state, (keys, jnp.arange(n_iterations)))
     depth, normal = extract_depth_and_normal(state, inputs.ref_cam)
     return depth, normal, state.cost
 

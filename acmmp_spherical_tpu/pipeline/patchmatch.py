@@ -54,22 +54,21 @@ def run_patchmatch(
         ctx=ctx,
     )
 
-    # scan over the 2*max_iterations half-steps so the big half-step body is
-    # traced/compiled exactly once (the reference re-launches per kernel;
-    # here XLA sees one loop)
-    n_steps = 2 * params.max_iterations
-    step_keys = jax.vmap(lambda i: jax.random.fold_in(k_iters, i))(
-        jnp.arange(n_steps)
+    # scan over iterations so each (black, red) half-step body is traced once;
+    # parity is static inside the body, enabling the packed half-grid path
+    n_iters = params.max_iterations
+    iter_keys = jax.vmap(lambda i: jax.random.fold_in(k_iters, i))(
+        jnp.arange(n_iters)
     )
-    iters = jnp.arange(n_steps) // 2
-    parities = jnp.arange(n_steps) % 2
 
     def step(state, sk):
-        k, it, parity = sk
-        state = checkerboard_halfstep(state, inputs, ctx, params, k, it, parity)
+        k, it = sk
+        k0, k1 = jax.random.split(k)
+        state = checkerboard_halfstep(state, inputs, ctx, params, k0, it, 0)
+        state = checkerboard_halfstep(state, inputs, ctx, params, k1, it, 1)
         return state, None
 
-    state, _ = jax.lax.scan(step, state, (step_keys, iters, parities))
+    state, _ = jax.lax.scan(step, state, (iter_keys, jnp.arange(n_iters)))
 
     depth, normal_world = extract_depth_and_normal(state, inputs.ref_cam)
     depth = checkerboard_median_filter(

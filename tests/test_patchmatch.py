@@ -82,3 +82,27 @@ def test_median_filter_removes_spikes():
     cost2 = jnp.zeros((20, 24))
     out2 = np.asarray(checkerboard_median_filter(depth2, cost2))
     assert out2[5, 5] == 50.0
+
+
+def test_odd_size_fallback_path():
+    """Odd image sizes take the dense parity-masked path; results stay sane."""
+    from acmmp_spherical_tpu.utils.synthetic import CubeRoom, make_ring_of_cameras, render_scene
+    from acmmp_spherical_tpu.core.camera import stack_cameras
+    import jax
+
+    scene = CubeRoom()
+    W, H = 63, 47  # odd
+    cams = make_ring_of_cameras(4, width=W, height=H, focal=56.0)
+    images, depths, _ = render_scene(cams, scene, W, H)
+    dmin, dmax = np.asarray(cams[0].depth_range)
+    params = PatchMatchParams(max_iterations=2).with_depth_range(dmin, dmax)
+    inputs = PatchMatchInputs(
+        ref_image=jnp.asarray(images[0]),
+        src_images=jnp.asarray(images[1:]),
+        ref_cam=cams[0],
+        src_cams=stack_cameras(cams[1:]),
+        src_valid=jnp.ones(3, bool),
+    )
+    depth, *_ = run_patchmatch(inputs, params, jax.random.key(0))
+    rel = np.abs(np.asarray(depth)[6:-6, 6:-6] - depths[0][6:-6, 6:-6]) / depths[0][6:-6, 6:-6]
+    assert np.median(rel) < 0.05
