@@ -65,6 +65,14 @@ class PatchMatchParams:
     # -- refinement (ACMMP.cu:797-936) ---------------------------------------
     refine_perturbation: float = 0.02  # depth window +-2%, normal 0.02*pi (ACMMP.cu:815)
 
+    # -- fast windowed-NCC kernel (PERF.md; pinhole, TPU) ---------------------
+    # Smooth cost evaluations (propagation candidates, current plane,
+    # perturbed refinement candidates) run through the Pallas window kernel;
+    # random-depth candidates and fresh-random first iterations stay on the
+    # exact XLA path.  Off by default; the pipeline enables it on TPU pinhole
+    # scenes.
+    fast_ncc: bool = False
+
     # -- planar prior model (ACMMP.cu:818-824, 1249-1255) --------------------
     prior_gamma: float = 0.5
     prior_beta: float = 0.18

@@ -1,0 +1,319 @@
+"""Fused windowed bilateral-NCC kernel (pinhole).
+
+Computes one plane-field's per-view NCC costs -- the hot evaluation of the
+PatchMatch half-step -- with the source sampling done from per-tile VMEM
+windows using per-lane ``tpu.dynamic_gather`` instead of HBM gather rows
+(PERF.md: the gather unit caps the XLA path at ~120 M samples/s while
+in-register gathers run at VPU rate).
+
+Per (view, tile) grid step:
+
+1. DMA an aligned ``WIN_H x WIN_W`` window of the source image into VMEM; its
+   origin comes from an XLA pre-pass that projects the centre taps
+   (gather-free VPU math) and takes per-tile minima.
+2. Loop the 36 patch taps: evaluate the plane depth at the tap, transform into
+   the source frame with a precomputed relative pose, project, and extract the
+   bilinear sample from the window (row one-hot of lane-gathers, gated to the
+   tap's actual row range).
+3. Accumulate the six bilateral-NCC sums with the precomputed reference tap
+   intensities/weights and emit the per-view cost tile.
+
+Samples that leave the window are treated as invalid taps (weight 0), the
+same semantics as out-of-image patch taps; plane fields whose *centre*
+projection leaves the window get ``cost_max``.  For smooth fields (propagation
+candidates, current planes, perturbations) windows cover everything and the
+result equals the exact XLA path; wildly scattered fields (random-depth
+candidates) should use the exact path instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from acmmp_spherical_tpu.config import PatchMatchParams
+from acmmp_spherical_tpu.core.camera import Camera, Cameras, PINHOLE, camera_center
+from acmmp_spherical_tpu.core import geometry as G
+from acmmp_spherical_tpu.ops.ncc import RefTapContext
+
+TILE_H = 8
+TILE_W = 128
+WIN_H = 40     # 8-aligned origin + slack; must be a multiple of 8
+WIN_W = 384    # 128-aligned origin + slack; multiple of 128
+_MARGIN_Y = 10
+_MARGIN_X = 24
+
+
+def pack_pair_params(ref_cam: Camera, src_cams: Cameras) -> jax.Array:
+    """Per-(ref, src) relative pose + intrinsics, one 128-float row per view.
+
+    Layout: [0:9] R_rel (row major), [9:12] t_rel, [12] fx_ref_inv, [13]
+    fy_ref_inv, [14] cx_ref, [15] cy_ref, [16] fx_src, [17] fy_src, [18]
+    cx_src, [19] cy_src, [20] src_w, [21] src_h.
+    ``X_src = R_rel @ (ray_ref * depth) + t_rel`` (cancels the world hop).
+    """
+    def per_view(src):
+        R_rel = src.R @ ref_cam.R.T
+        t_rel = src.R @ (camera_center(ref_cam) - camera_center(src))
+        row = jnp.zeros(128, jnp.float32)
+        row = row.at[0:9].set(R_rel.reshape(-1))
+        row = row.at[9:12].set(t_rel)
+        row = row.at[12].set(1.0 / ref_cam.K[0, 0])
+        row = row.at[13].set(1.0 / ref_cam.K[1, 1])
+        row = row.at[14].set(ref_cam.K[0, 2])
+        row = row.at[15].set(ref_cam.K[1, 2])
+        row = row.at[16].set(src.K[0, 0])
+        row = row.at[17].set(src.K[1, 1])
+        row = row.at[18].set(src.K[0, 2])
+        row = row.at[19].set(src.K[1, 2])
+        row = row.at[20].set(src.width)
+        row = row.at[21].set(src.height)
+        return row
+
+    return jax.vmap(
+        lambda i: per_view(jax.tree.map(lambda a: a[i], src_cams))
+    )(jnp.arange(src_cams.t.shape[0]))
+
+
+def compute_center_windows(
+    src_cams: Cameras,
+    ref_cam: Camera,
+    normal: jax.Array,
+    w: jax.Array,
+    xs: jax.Array,
+    ys: jax.Array,
+    src_shape: tuple[int, int],
+):
+    """XLA pre-pass: per-(view, tile) window origins from the centre-tap
+    projections (pure VPU math, no gathers).  Returns (off_y, off_x) int32
+    arrays of shape (S, TY*TX) plus nothing else."""
+    H, W = xs.shape
+    ty, tx = H // TILE_H, W // TILE_W
+    depth = G.depth_from_plane(ref_cam, xs, ys, normal, w)
+    X = G.unproject_world(ref_cam, xs, ys, depth)
+
+    def per_view(cam_i):
+        cam = jax.tree.map(lambda a: a, cam_i)
+        px, py, pd = G.project(cam_i, X)
+        ok = jnp.isfinite(px) & jnp.isfinite(py) & (jnp.abs(px) < 1e7) & (jnp.abs(py) < 1e7)
+        big = jnp.float32(1e9)
+        pxt = jnp.where(ok, px, big).reshape(ty, TILE_H, tx, TILE_W)
+        pyt = jnp.where(ok, py, big).reshape(ty, TILE_H, tx, TILE_W)
+        xmin = jnp.min(pxt, axis=(1, 3))
+        ymin = jnp.min(pyt, axis=(1, 3))
+        off_x = (jnp.floor(xmin).astype(jnp.int32) - _MARGIN_X) // TILE_W * TILE_W
+        off_y = (jnp.floor(ymin).astype(jnp.int32) - _MARGIN_Y) // TILE_H * TILE_H
+        max_x = max((src_shape[1] - WIN_W) // TILE_W * TILE_W, 0)
+        max_y = max((src_shape[0] - WIN_H) // TILE_H * TILE_H, 0)
+        return (jnp.clip(off_y, 0, max_y).reshape(-1),
+                jnp.clip(off_x, 0, max_x).reshape(-1))
+
+    off_y, off_x = jax.vmap(
+        lambda i: per_view(jax.tree.map(lambda a: a[i], src_cams))
+    )(jnp.arange(src_cams.t.shape[0]))
+    return off_y, off_x
+
+
+def _ncc_kernel(off_y_ref, off_x_ref, toff_ref, cam_ref, src_ref,
+                nx_ref, ny_ref, nz_ref, w_ref, xs_ref, ys_ref,
+                taps_ref, wgt_ref, out_ref, win, sem,
+                *, n_taps, params: PatchMatchParams):
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n_i = pl.num_programs(1)
+    n_j = pl.num_programs(2)
+    tile_id = s * (n_i * n_j) + i * n_j + j
+    y0 = pl.multiple_of(off_y_ref[tile_id], TILE_H)
+    x0 = pl.multiple_of(off_x_ref[tile_id], TILE_W)
+    cp = pltpu.make_async_copy(
+        src_ref.at[s, pl.ds(y0, WIN_H), pl.ds(x0, WIN_W)], win, sem
+    )
+    cp.start()
+
+    def c(k):
+        return cam_ref[0, 0, k]
+
+    nx = nx_ref[0]
+    ny = ny_ref[0]
+    nz = nz_ref[0]
+    pw = w_ref[0]
+    xs = xs_ref[0]
+    ys = ys_ref[0]
+    n_chunks = WIN_W // TILE_W
+
+    def project(dx, dy):
+        """Tap projection into the source view; returns (px, py, in_img)."""
+        rx = (xs + dx - c(14)) * c(12)
+        ry = (ys + dy - c(15)) * c(13)
+        denom = nx * rx + ny * ry + nz
+        depth = jnp.where(jnp.abs(denom) < 1e-6, 1e6, -pw / denom)
+        Xx = rx * depth
+        Xy = ry * depth
+        sx = c(0) * Xx + c(1) * Xy + c(2) * depth + c(9)
+        sy = c(3) * Xx + c(4) * Xy + c(5) * depth + c(10)
+        sz = c(6) * Xx + c(7) * Xy + c(8) * depth + c(11)
+        inv_z = 1.0 / jnp.where(jnp.abs(sz) < 1e-6, 1e-6, sz)
+        px = (c(16) * sx) * inv_z + c(18)
+        py = (c(17) * sy) * inv_z + c(19)
+        in_img = (px >= 0.0) & (px < c(20)) & (py >= 0.0) & (py < c(21))
+        return px, py, in_img
+
+    def extract(px, py, in_img):
+        """Bilinear window extraction; returns (value, ok)."""
+        pxf = jnp.floor(px)
+        pyf = jnp.floor(py)
+        fx = px - pxf
+        fy = py - pyf
+        relx = pxf.astype(jnp.int32) - x0
+        rely = pyf.astype(jnp.int32) - y0
+        in_win = ((relx >= 0) & (relx <= WIN_W - 2)
+                  & (rely >= 0) & (rely <= WIN_H - 2))
+        ok = in_img & in_win
+        relx_c = jnp.clip(relx, 0, WIN_W - 2)
+        rely_c = jnp.clip(rely, 0, WIN_H - 2)
+
+        zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        a0, a1 = zero, zero
+        for r in range(WIN_H):
+            g0 = zero
+            g1 = zero
+            for cidx in range(n_chunks):
+                chunk = jnp.broadcast_to(
+                    win[r:r + 1, cidx * TILE_W:(cidx + 1) * TILE_W],
+                    (TILE_H, TILE_W))
+                i0 = jnp.clip(relx_c - cidx * TILE_W, 0, TILE_W - 1)
+                i1 = jnp.clip(relx_c + 1 - cidx * TILE_W, 0, TILE_W - 1)
+                v0 = jnp.take_along_axis(chunk, i0, axis=1,
+                                         mode="promise_in_bounds")
+                v1 = jnp.take_along_axis(chunk, i1, axis=1,
+                                         mode="promise_in_bounds")
+                g0 = jnp.where((relx_c >= cidx * TILE_W)
+                               & (relx_c < (cidx + 1) * TILE_W), v0, g0)
+                g1 = jnp.where((relx_c + 1 >= cidx * TILE_W)
+                               & (relx_c + 1 < (cidx + 1) * TILE_W), v1, g1)
+            rv = g0 + (g1 - g0) * fx
+            a0 = jnp.where(rely_c == r, rv, a0)
+            a1 = jnp.where(rely_c + 1 == r, rv, a1)
+        return a0 + (a1 - a0) * fy, ok
+
+    cp.wait()
+
+    # centre validation (the stride-2 tap grid does not include (0, 0);
+    # reference ACMMP.cu:418-433 validates the centre separately)
+    _, _, center_in = project(0.0, 0.0)
+
+    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    def tap_body(ti, sums):
+        s_bw, s_r, s_rr, s_s, s_ss, s_rs = sums
+        dx = toff_ref[2 * ti].astype(jnp.float32)
+        dy = toff_ref[2 * ti + 1].astype(jnp.float32)
+        px, py, in_img = project(dx, dy)
+        val, ok = extract(px, py, in_img)
+        wgt = jnp.where(ok, wgt_ref[ti], 0.0)
+        ref_pix = taps_ref[ti]
+        return (
+            s_bw + wgt,
+            s_r + wgt * ref_pix,
+            s_rr + wgt * ref_pix * ref_pix,
+            s_s + wgt * val,
+            s_ss + wgt * val * val,
+            s_rs + wgt * ref_pix * val,
+        )
+
+    s_bw, s_r, s_rr, s_s, s_ss, s_rs = jax.lax.fori_loop(
+        0, n_taps, tap_body, (zeros,) * 6
+    )
+
+    inv_bw = 1.0 / jnp.maximum(s_bw, 1e-12)
+    m_ref = s_r * inv_bw
+    m_src = s_s * inv_bw
+    var_ref = s_rr * inv_bw - m_ref * m_ref
+    var_src = s_ss * inv_bw - m_src * m_src
+    covar = s_rs * inv_bw - m_ref * m_src
+    ncc = 1.0 - covar * jax.lax.rsqrt(jnp.maximum(var_ref * var_src, 1e-30))
+    cost = jnp.clip(ncc, 0.0, params.cost_max)
+    bad = (s_bw < 1e-6) | (var_ref < 1e-5) | (var_src < 1e-5) | ~center_in
+    out_ref[0] = jnp.where(bad, params.cost_max, cost)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret")
+)
+def windowed_multiview_ncc(
+    src_images: jax.Array,   # (S, Hp, Wp)
+    src_cams: Cameras,
+    ref_cam: Camera,
+    normal: jax.Array,       # (H, W, 3) plane field (any packed grid)
+    w: jax.Array,            # (H, W)
+    ctx: RefTapContext,      # fields on the same grid
+    params: PatchMatchParams,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in fast replacement for :func:`ops.ncc.multiview_ncc` (pinhole).
+
+    Returns (S, H, W) costs; positions whose sampling left the per-tile window
+    cost ``cost_max`` (centre) / lose the tap (others).
+    """
+    assert ref_cam.model == PINHOLE and src_cams.model == PINHOLE
+    S, Hp, Wp = src_images.shape
+    H, W = w.shape
+    assert H % TILE_H == 0 and W % TILE_W == 0, (H, W)
+    ty, tx = H // TILE_H, W // TILE_W
+
+    pad_h = max(WIN_H - Hp, 0)
+    pad_w = max(WIN_W - Wp, 0)
+    if pad_h or pad_w:
+        src_images = jnp.pad(src_images, ((0, 0), (0, pad_h), (0, pad_w)))
+
+    off_y, off_x = compute_center_windows(
+        src_cams, ref_cam, normal, w, ctx.xs, ctx.ys, src_images.shape[1:]
+    )  # (S, TY*TX)
+    cam_rows = pack_pair_params(ref_cam, src_cams)  # (S, 128)
+
+    T = ctx.ref_taps.shape[0]
+    # (dx, dy) interleaved per tap as int32 scalar-prefetch
+    toff = jnp.zeros((2 * T,), jnp.int32)
+    toff = toff.at[0::2].set(ctx.offsets[:, 0].astype(jnp.int32))
+    toff = toff.at[1::2].set(ctx.offsets[:, 1].astype(jnp.int32))
+    kernel = functools.partial(_ncc_kernel, n_taps=T, params=params)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S, ty, tx),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda s, i, j, *_: (s, 0, 0)),     # cam
+            pl.BlockSpec(memory_space=pltpu.ANY),                         # src
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # nx
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (1, i, j)),  # ny
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (2, i, j)),  # nz
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # w
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # xs
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # ys
+            pl.BlockSpec((T, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # taps
+            pl.BlockSpec((T, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # wgts
+        ],
+        out_specs=pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (s, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_H, WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    ncf = jnp.moveaxis(normal, -1, 0)  # (3, H, W)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, H, W), jnp.float32),
+        interpret=interpret,
+    )(
+        off_y.reshape(-1), off_x.reshape(-1), toff,
+        cam_rows[:, None, :], src_images, ncf, ncf, ncf, w[None], ctx.xs[None], ctx.ys[None],
+        ctx.ref_taps, ctx.weights,
+    )

@@ -79,6 +79,10 @@ class PatchMatchInputs(NamedTuple):
     prior_w: Optional[jax.Array] = None       # (H, W)
     prior_mask: Optional[jax.Array] = None    # (H, W) bool
     src_packed: Optional[jax.Array] = None    # (S, Hp*Wp, 4) bilinear pack
+    # working depth range as a *traced* (2,) array: per-problem ranges must not
+    # bake into the compiled program (a static range would recompile every
+    # image; reference ACMMP.cpp:645-646 sets it per problem)
+    depth_range: Optional[jax.Array] = None
 
 
 def prepare_inputs(inputs: "PatchMatchInputs") -> "PatchMatchInputs":
@@ -95,12 +99,62 @@ def prepare_inputs(inputs: "PatchMatchInputs") -> "PatchMatchInputs":
     return inputs._replace(src_packed=packed)
 
 
-def _masked_cost_vector(inputs, ctx, normal, w, params):
-    """NCC cost vector with padded views forced to cost_max."""
-    cv = multiview_ncc(
-        inputs.src_images, inputs.src_cams, inputs.ref_cam, normal, w, ctx,
-        params, src_packed=inputs.src_packed,
+def _fast_cost_vector(inputs, ctx, normal, w, params):
+    """Windowed-kernel NCC with tile-alignment padding (PERF.md)."""
+    from acmmp_spherical_tpu.ops.pallas.ncc_window import (
+        TILE_H, TILE_W, windowed_multiview_ncc,
     )
+
+    H, W = w.shape
+    ph = (-H) % TILE_H
+    pw_ = (-W) % TILE_W
+    if ph or pw_:
+        pad2 = lambda a: jnp.pad(a, ((0, ph), (0, pw_)), mode="edge")
+        pad3 = lambda a: jnp.pad(a, ((0, ph), (0, pw_), (0, 0)), mode="edge")
+        padT = lambda a: jnp.pad(a, ((0, 0), (0, ph), (0, pw_)), mode="edge")
+        ctx = ctx._replace(
+            ref_taps=padT(ctx.ref_taps), weights=padT(ctx.weights),
+            center=pad2(ctx.center), xs=pad2(ctx.xs), ys=pad2(ctx.ys),
+        )
+        normal = pad3(normal)
+        w = pad2(w)
+    interpret = jax.default_backend() != "tpu"
+    cv = windowed_multiview_ncc(
+        inputs.src_images, inputs.src_cams, inputs.ref_cam, normal, w, ctx,
+        params, interpret=interpret,
+    )
+    if ph or pw_:
+        cv = cv[:, :H, :W]
+    return cv
+
+
+def _depth_range(inputs, params):
+    """Traced (dmin, dmax) scalars for the working depth range."""
+    if inputs.depth_range is not None:
+        return inputs.depth_range[0], inputs.depth_range[1]
+    return (jnp.float32(params.depth_min), jnp.float32(params.depth_max))
+
+
+def _use_fast(inputs, params, allow_fast):
+    from acmmp_spherical_tpu.core.camera import PINHOLE
+
+    return (
+        params.fast_ncc
+        and allow_fast
+        and inputs.ref_cam.model == PINHOLE
+        and inputs.src_cams.model == PINHOLE
+    )
+
+
+def _masked_cost_vector(inputs, ctx, normal, w, params, *, allow_fast=True):
+    """NCC cost vector with padded views forced to cost_max."""
+    if _use_fast(inputs, params, allow_fast):
+        cv = _fast_cost_vector(inputs, ctx, normal, w, params)
+    else:
+        cv = multiview_ncc(
+            inputs.src_images, inputs.src_cams, inputs.ref_cam, normal, w, ctx,
+            params, src_packed=inputs.src_packed,
+        )
     return jnp.where(inputs.src_valid[:, None, None], cv, params.cost_max)
 
 
@@ -120,9 +174,9 @@ def _geom_vec(inputs, normal, w, xs, ys, params):
     return jnp.where(inputs.src_valid[:, None, None], gc, params.geom_max_cost)
 
 
-def _prior_weight(depth, normal, prior_depth, prior_normal, params):
+def _prior_weight(depth, normal, prior_depth, prior_normal, params, dmin, dmax):
     """Planar-prior plausibility (ACMMP.cu:1249-1276, 917-919)."""
-    depth_sigma = (params.depth_max - params.depth_min) / params.prior_depth_sigma_div
+    depth_sigma = (dmax - dmin) / params.prior_depth_sigma_div
     two_ds2 = 2.0 * depth_sigma * depth_sigma
     angle_sigma = params.prior_angle_sigma
     two_as2 = 2.0 * angle_sigma * angle_sigma
@@ -199,11 +253,12 @@ def initialize_state(
         normal = G.normalize(normal)
         w = G.dist_to_origin(cam, xs, ys, seed_depth, normal)
     else:
-        normal, w = R.random_plane_hypothesis(
-            key, cam, xs, ys, params.depth_min, params.depth_max
-        )
+        dmin, dmax = _depth_range(inputs, params)
+        normal, w = R.random_plane_hypothesis(key, cam, xs, ys, dmin, dmax)
 
-    cost_vec = _masked_cost_vector(inputs, ctx, normal, w, params)
+    # initial cost of a (possibly random) field: always the exact path
+    cost_vec = _masked_cost_vector(inputs, ctx, normal, w, params,
+                                   allow_fast=False)
     cost, selected = topk_cost_and_selection(cost_vec, inputs.src_valid, params)
     # hierarchy commit threshold = the seeded plane's own initial cost (the
     # fork stores a garbage-normal cost / leaves it uninitialised;
@@ -220,7 +275,7 @@ def initialize_state(
 def _refinement(
     inputs, ctx, params, key, xs, ys,
     normal, w, depth, cost, restricted, sel,
-    prior_normal, prior_mask, prior_depth,
+    prior_normal, prior_mask, prior_depth, dmin, dmax,
 ):
     """Sequentially ratchet through the 5 refinement candidates.
 
@@ -232,16 +287,16 @@ def _refinement(
     perturbation = params.refine_perturbation
     k_rd, k_rn, k_pn, k_pd = jax.random.split(key, 4)
 
-    depth_sigma = (params.depth_max - params.depth_min) / params.prior_depth_sigma_div
+    depth_sigma = (dmax - dmin) / params.prior_depth_sigma_div
 
     if params.planar_prior:
         has_prior = prior_mask
         # prior-guided random sampling (ACMMP.cu:830-836)
-        lo_p = jnp.maximum(prior_depth - 3.0 * depth_sigma, params.depth_min)
-        hi_p = jnp.minimum(prior_depth + 3.0 * depth_sigma, params.depth_max)
+        lo_p = jnp.maximum(prior_depth - 3.0 * depth_sigma, dmin)
+        hi_p = jnp.minimum(prior_depth + 3.0 * depth_sigma, dmax)
         u = R.uniform(k_rd, depth.shape)
         d_rand_prior = R.sample_depth_inv(u, lo_p, hi_p)
-        d_rand_free = R.sample_depth_inv(u, params.depth_min, params.depth_max)
+        d_rand_free = R.sample_depth_inv(u, dmin, dmax)
         depth_rand = jnp.where(has_prior, d_rand_prior, d_rand_free)
         n_rand_prior = R.perturbed_normal(
             k_rn, cam, xs, ys, prior_normal, params.prior_angle_sigma
@@ -250,17 +305,17 @@ def _refinement(
         normal_rand = jnp.where(has_prior[..., None], n_rand_prior, n_rand_free)
     else:
         u = R.uniform(k_rd, depth.shape)
-        depth_rand = R.sample_depth_inv(u, params.depth_min, params.depth_max)
+        depth_rand = R.sample_depth_inv(u, dmin, dmax)
         normal_rand = R.random_normal_toward_viewer(k_rn, cam, xs, ys)
 
     # local inverse-depth window around the current depth (ACMMP.cu:843-863);
     # the 32-try loop always succeeds on try 1 because the window is clamped
     # inside the global range, so one sample is exact.
-    lo = jnp.maximum((1.0 - perturbation) * depth, params.depth_min)
-    hi = jnp.minimum((1.0 + perturbation) * depth, params.depth_max)
+    lo = jnp.maximum((1.0 - perturbation) * depth, dmin)
+    hi = jnp.minimum((1.0 + perturbation) * depth, dmax)
     healed = ~(hi > lo)
-    lo = jnp.where(healed, params.depth_min, lo)
-    hi = jnp.where(healed, params.depth_max, hi)
+    lo = jnp.where(healed, dmin, lo)
+    hi = jnp.where(healed, dmax, hi)
     depth_pert = R.sample_depth_inv(R.uniform(k_pd, depth.shape), lo, hi)
     normal_pert = R.perturbed_normal(
         k_pn, cam, xs, ys, normal, perturbation * jnp.pi
@@ -272,14 +327,19 @@ def _refinement(
         cand_depths, cand_normals
     )
 
-    def cand_cost(args):
-        n_i, w_i = args
-        cv = _masked_cost_vector(inputs, ctx, n_i, w_i, params)
+    def cand_cost(n_i, w_i, allow_fast):
+        cv = _masked_cost_vector(inputs, ctx, n_i, w_i, params,
+                                 allow_fast=allow_fast)
         gv = _geom_vec(inputs, n_i, w_i, xs, ys, params)
         return _aggregate(cv, gv, sel.weights, sel.weight_norm,
                           params.geom_weight_refine, params)
 
-    cand_costs = jax.lax.map(cand_cost, (cand_normals, cand_w))  # (5, H, W)
+    # candidates 0 and 2 carry the iid random depth -- their sampling is
+    # scattered, so they stay on the exact path; the others are smooth
+    cand_costs = jnp.stack([
+        cand_cost(cand_normals[i], cand_w[i], allow_fast=i not in (0, 2))
+        for i in range(5)
+    ])  # (5, H, W)
     cand_depth_at_pixel = jax.vmap(
         lambda n_i, w_i: G.depth_from_plane(cam, xs, ys, n_i, w_i)
     )(cand_normals, cand_w)
@@ -291,8 +351,8 @@ def _refinement(
         n_i, w_i, c_i, d_i = cand
         valid = (
             can_refine
-            & (d_i >= params.depth_min)
-            & (d_i <= params.depth_max)
+            & (d_i >= dmin)
+            & (d_i <= dmax)
             & (d_i < G.INVALID_DEPTH)
         )
         if params.planar_prior:
@@ -300,7 +360,7 @@ def _refinement(
                 # NOTE: prior weighting uses the *sampled* candidate depth
                 # table value in the fork (depths[i]); the plane-at-pixel
                 # depth d_i equals it by construction of cand_w.
-                d_i, n_i, prior_depth, prior_normal, params
+                d_i, n_i, prior_depth, prior_normal, params, dmin, dmax
             )
             r_i = _restricted(c_i, pw, params)
             accept_p = valid & prior_mask & (r_i > r_cur)
@@ -350,6 +410,7 @@ def _halfstep_core(
     """
     cam = inputs.ref_cam
     k_votes, k_refine = jax.random.split(key)
+    dmin, dmax = _depth_range(inputs, params)
 
     # 2. per-candidate multi-view photometric cost vectors (8, S, ...)
     cost_arrays = jax.lax.map(
@@ -399,14 +460,14 @@ def _halfstep_core(
     best_w = take(cands.w)
     best_valid = take(cands.valid.astype(jnp.int32)) > 0
     best_depth = G.depth_from_plane(cam, xs, ys, best_n, best_w)
-    in_range = (best_depth >= params.depth_min) & (best_depth <= params.depth_max)
+    in_range = (best_depth >= dmin) & (best_depth <= dmax)
 
     if params.planar_prior:
         prior_depth = G.depth_from_plane(cam, xs, ys, prior_normal, prior_w)
         pw_cand = jax.vmap(
             lambda n_k, w_k: _prior_weight(
                 G.depth_from_plane(cam, xs, ys, n_k, w_k), n_k,
-                prior_depth, prior_normal, params)
+                prior_depth, prior_normal, params, dmin, dmax)
         )(cands.normal, cands.w)                                # (8, ...)
         restricted_cands = jnp.where(
             cands.valid, _restricted(final_costs, pw_cand, params), 0.0
@@ -419,10 +480,10 @@ def _halfstep_core(
         rbest_cost = r_take(final_costs)
         rbest_valid = r_take(cands.valid.astype(jnp.int32)) > 0
         rbest_depth = G.depth_from_plane(cam, xs, ys, rbest_n, rbest_w)
-        r_in_range = (rbest_depth >= params.depth_min) & (rbest_depth <= params.depth_max)
+        r_in_range = (rbest_depth >= dmin) & (rbest_depth <= dmax)
 
         pw_now = _prior_weight(depth_now0, cur_normal, prior_depth,
-                               prior_normal, params)
+                               prior_normal, params, dmin, dmax)
         restricted_now = _restricted(cost_now0, pw_now, params)
 
         mask = prior_mask
@@ -458,7 +519,7 @@ def _halfstep_core(
     normal_f, w_f, _, cost_f, _ = _refinement(
         inputs, ctx, params, k_refine, xs, ys,
         normal_loc, w_loc, depth_loc, cost_loc, restricted_loc, sel,
-        prior_normal, prior_mask, prior_depth,
+        prior_normal, prior_mask, prior_depth, dmin, dmax,
     )
 
     # 8. hierarchy commit guard (ACMMP.cu:1315-1324)

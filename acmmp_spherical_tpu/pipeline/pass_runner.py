@@ -103,9 +103,12 @@ def load_problem(
         src_cams.append(src_cams[0] if n_src else ref_cam)
 
     dmin, dmax = np.asarray(ref_cam.depth_range)
-    params = cfg.patchmatch.with_depth_range(
-        cfg.depth_min_scale * dmin, cfg.depth_max_scale * dmax
+    # the working range travels as a traced input (inputs.depth_range), NOT as
+    # static params: a static range would recompile every image
+    depth_range = jnp.asarray(
+        [cfg.depth_min_scale * dmin, cfg.depth_max_scale * dmax], jnp.float32
     )
+    params = cfg.patchmatch
     if geom:
         params = params.with_geom(multi_geometry)
 
@@ -129,6 +132,7 @@ def load_problem(
         src_cams=stack_cameras(src_cams),
         src_valid=jnp.asarray(src_valid),
         src_depths=src_depths,
+        depth_range=depth_range,
     )
     lp = LoadedProblem(
         inputs=inputs, ref_image_np=ref_img, ref_cam=ref_cam,
@@ -222,9 +226,10 @@ def process_problem(
         # second round with the Delaunay planar prior (main.cpp:113-197)
         import cv2
 
+        dmin, dmax = np.asarray(lp.ref_cam.depth_range)
         prior_normal, prior_w, mask, tris = build_planar_prior(
             lp.ref_cam, np.asarray(depth), np.asarray(cost),
-            params.depth_min, params.depth_max, cfg.prior,
+            cfg.depth_min_scale * dmin, cfg.depth_max_scale * dmax, cfg.prior,
         )
         overlay = draw_triangulation(lp.ref_image_np, tris)
         cv2.imwrite(str(sp.result_dir(image_id) / "triangulation.png"),

@@ -57,9 +57,22 @@ def run_patchmatch(
     # scan over iterations so each (black, red) half-step body is traced once;
     # parity is static inside the body, enabling the packed half-grid path
     n_iters = params.max_iterations
-    iter_keys = jax.vmap(lambda i: jax.random.fold_in(k_iters, i))(
-        jnp.arange(n_iters)
-    )
+    first_iter = 0
+    fresh_random = not (params.geom_consistency or params.hierarchy
+                        or params.planar_prior)
+    if params.fast_ncc and fresh_random and n_iters > 0:
+        # the first iteration after random init sees scattered plane fields:
+        # run it on the exact path, then switch to the windowed kernel
+        import dataclasses as _dc
+
+        params0 = _dc.replace(params, fast_ncc=False)
+        k0a, k0b = jax.random.split(jax.random.fold_in(k_iters, 0))
+        state = checkerboard_halfstep(state, inputs, ctx, params0, k0a, 0, 0)
+        state = checkerboard_halfstep(state, inputs, ctx, params0, k0b, 0, 1)
+        first_iter = 1
+
+    iters = jnp.arange(first_iter, n_iters)
+    iter_keys = jax.vmap(lambda i: jax.random.fold_in(k_iters, i))(iters)
 
     def step(state, sk):
         k, it = sk
@@ -68,7 +81,7 @@ def run_patchmatch(
         state = checkerboard_halfstep(state, inputs, ctx, params, k1, it, 1)
         return state, None
 
-    state, _ = jax.lax.scan(step, state, (iter_keys, jnp.arange(n_iters)))
+    state, _ = jax.lax.scan(step, state, (iter_keys, iters))
 
     depth, normal_world = extract_depth_and_normal(state, inputs.ref_cam)
     depth = checkerboard_median_filter(
