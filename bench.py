@@ -85,8 +85,14 @@ def main() -> None:
     images, gt_depth, _ = render_scene(cams, scene, W, H)
     print(f"[bench] scene render {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    import dataclasses
+
     dmin, dmax = np.asarray(cams[0].depth_range)
-    params = PatchMatchParams().with_depth_range(dmin, dmax)
+    # fast windowed-NCC kernel on TPU (exact path elsewhere)
+    fast = jax.default_backend() == "tpu"
+    params = dataclasses.replace(
+        PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=fast
+    )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(
         ref_image=images_d[0],
