@@ -143,6 +143,8 @@ class PipelineConfig:
     depth_min_scale: float = 0.6     # working range padding (ACMMP.cpp:645-646)
     depth_max_scale: float = 1.2
     planar_prior: bool = True        # run the prior-assisted second round
+    fast_ncc: str = "auto"           # windowed NCC kernel: "auto" = on for
+                                     # TPU pinhole scenes, "on", "off"
     seed: int = 0                    # global RNG seed (reference used clock64();
                                      # we are deterministic by design)
     max_src_views: int = 20          # pad/truncate source views per problem

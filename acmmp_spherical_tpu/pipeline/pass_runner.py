@@ -109,6 +109,12 @@ def load_problem(
         [cfg.depth_min_scale * dmin, cfg.depth_max_scale * dmax], jnp.float32
     )
     params = cfg.patchmatch
+    if cfg.fast_ncc == "on" or (
+        cfg.fast_ncc == "auto"
+        and jax.default_backend() == "tpu"
+        and ref_cam.model == "pinhole"
+    ):
+        params = dataclasses.replace(params, fast_ncc=True)
     if geom:
         params = params.with_geom(multi_geometry)
 
