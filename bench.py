@@ -82,8 +82,17 @@ def main() -> None:
         1 + n_src, width=W, height=H, focal=0.9 * W, radius=0.25
     )
     t0 = time.perf_counter()
-    images, gt_depth, _ = render_scene(cams, scene, W, H)
-    print(f"[bench] scene render {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    cache = f"/tmp/acmmp_bench_scene_{W}x{H}x{n_src}.npz"
+    try:
+        data = np.load(cache)
+        images, gt_depth = data["images"], data["depths"]
+    except Exception:
+        images, gt_depth, _ = render_scene(cams, scene, W, H)
+        try:
+            np.savez(cache, images=images, depths=gt_depth)
+        except Exception:
+            pass
+    print(f"[bench] scene setup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     import dataclasses
 
