@@ -95,7 +95,12 @@ def load_problem(
         src_cams.append(cm)
 
     n_src = len(src_imgs)
-    n_pad = cfg.max_src_views
+    # pad to the scene-wide source count (rounded up for shape stability), not
+    # the global cap: padded views are masked but still *computed*, so over-
+    # padding multiplies the NCC work
+    scene_max = max((min(len(p.src_image_ids), cfg.max_src_views)
+                     for p in problems), default=1)
+    n_pad = max(1, -(-scene_max // 2) * 2)
     src_valid = np.zeros(n_pad, bool)
     src_valid[:n_src] = True
     while len(src_imgs) < n_pad:
