@@ -72,6 +72,11 @@ class PatchMatchParams:
     # exact XLA path.  Off by default; the pipeline enables it on TPU pinhole
     # scenes.
     fast_ncc: bool = False
+    # run the first iteration after fresh-random init on the exact path
+    # (windows cover random fields poorly; measured on the goldens the
+    # all-fast default loses no median accuracy because the exact
+    # random-depth refinement evals keep exploring -- see PERF.md)
+    exact_first_iteration: bool = False
 
     # -- planar prior model (ACMMP.cu:818-824, 1249-1255) --------------------
     prior_gamma: float = 0.5

@@ -179,27 +179,46 @@ def _ncc_kernel(off_y_ref, off_x_ref, toff_ref, cam_ref, src_ref,
         rely_c = jnp.clip(rely, 0, WIN_H - 2)
 
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        a0, a1 = zero, zero
-        for r in range(WIN_H):
-            g0 = zero
-            g1 = zero
-            for cidx in range(n_chunks):
-                chunk = jnp.broadcast_to(
-                    win[r:r + 1, cidx * TILE_W:(cidx + 1) * TILE_W],
-                    (TILE_H, TILE_W))
-                i0 = jnp.clip(relx_c - cidx * TILE_W, 0, TILE_W - 1)
-                i1 = jnp.clip(relx_c + 1 - cidx * TILE_W, 0, TILE_W - 1)
-                v0 = jnp.take_along_axis(chunk, i0, axis=1,
-                                         mode="promise_in_bounds")
-                v1 = jnp.take_along_axis(chunk, i1, axis=1,
-                                         mode="promise_in_bounds")
-                g0 = jnp.where((relx_c >= cidx * TILE_W)
-                               & (relx_c < (cidx + 1) * TILE_W), v0, g0)
-                g1 = jnp.where((relx_c + 1 >= cidx * TILE_W)
-                               & (relx_c + 1 < (cidx + 1) * TILE_W), v1, g1)
-            rv = g0 + (g1 - g0) * fx
-            a0 = jnp.where(rely_c == r, rv, a0)
-            a1 = jnp.where(rely_c + 1 == r, rv, a1)
+        # gate 8-row groups on the tap's actual row span: smooth fields touch
+        # only 2-3 of the WIN_H//8 groups (lax.cond lowers to scf.if and
+        # skips the work at runtime)
+        rmin = jnp.min(rely_c)
+        rmax = jnp.max(rely_c) + 1  # the y+1 bilinear corner
+
+        def group(base, accs):
+            a0, a1 = accs
+            for r in range(base, base + TILE_H):
+                g0 = zero
+                g1 = zero
+                for cidx in range(n_chunks):
+                    chunk = jnp.broadcast_to(
+                        win[r:r + 1, cidx * TILE_W:(cidx + 1) * TILE_W],
+                        (TILE_H, TILE_W))
+                    i0 = jnp.clip(relx_c - cidx * TILE_W, 0, TILE_W - 1)
+                    i1 = jnp.clip(relx_c + 1 - cidx * TILE_W, 0, TILE_W - 1)
+                    v0 = jnp.take_along_axis(chunk, i0, axis=1,
+                                             mode="promise_in_bounds")
+                    v1 = jnp.take_along_axis(chunk, i1, axis=1,
+                                             mode="promise_in_bounds")
+                    g0 = jnp.where((relx_c >= cidx * TILE_W)
+                                   & (relx_c < (cidx + 1) * TILE_W), v0, g0)
+                    g1 = jnp.where((relx_c + 1 >= cidx * TILE_W)
+                                   & (relx_c + 1 < (cidx + 1) * TILE_W), v1, g1)
+                rv = g0 + (g1 - g0) * fx
+                a0 = jnp.where(rely_c == r, rv, a0)
+                a1 = jnp.where(rely_c + 1 == r, rv, a1)
+            return a0, a1
+
+        accs = (zero, zero)
+        for gidx in range(WIN_H // TILE_H):
+            lo = gidx * TILE_H
+            accs = jax.lax.cond(
+                (rmax >= lo) & (rmin < lo + TILE_H),
+                lambda a, lo=lo: group(lo, a),
+                lambda a: a,
+                accs,
+            )
+        a0, a1 = accs
         return a0 + (a1 - a0) * fy, ok
 
     cp.wait()

@@ -60,7 +60,8 @@ def run_patchmatch(
     first_iter = 0
     fresh_random = not (params.geom_consistency or params.hierarchy
                         or params.planar_prior)
-    if params.fast_ncc and fresh_random and n_iters > 0:
+    if (params.fast_ncc and params.exact_first_iteration and fresh_random
+            and n_iters > 0):
         # the first iteration after random init sees scattered plane fields:
         # run it on the exact path, then switch to the windowed kernel
         import dataclasses as _dc
