@@ -116,3 +116,41 @@ def test_convert_colmap_scene(tmp_path):
     # round-trip: the converter's text model parses through read_model
     c, im, pt = read_model(root / "sparse", ".txt")
     assert len(c) == 1 and len(im) == 5 and len(pt) > 100
+
+
+def test_colmap_binary_roundtrip(tmp_path):
+    """Binary COLMAP readers parse structs written in the documented format."""
+    import struct
+    from acmmp_spherical_tpu.pipeline.colmap import (
+        read_cameras_binary, read_images_binary, read_points3D_binary,
+    )
+
+    with open(tmp_path / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 64, 48))          # PINHOLE id 1
+        f.write(struct.pack("<dddd", 56.0, 57.0, 32.0, 24.0))
+    cams = read_cameras_binary(tmp_path / "cameras.bin")
+    assert cams[1].model == "PINHOLE"
+    np.testing.assert_allclose(cams[1].K[0, 0], 56.0)
+
+    with open(tmp_path / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<idddddddi", 7, 1.0, 0.0, 0.0, 0.0,
+                            0.5, -0.25, 2.0, 1))
+        f.write(b"img.jpg\x00")
+        f.write(struct.pack("<Q", 2))
+        f.write(struct.pack("<ddq", 1.0, 2.0, 11))
+        f.write(struct.pack("<ddq", 3.0, 4.0, -1))
+    imgs = read_images_binary(tmp_path / "images.bin")
+    assert imgs[7].name == "img.jpg"
+    np.testing.assert_allclose(imgs[7].tvec, [0.5, -0.25, 2.0])
+    assert imgs[7].point3D_ids.tolist() == [11, -1]
+
+    with open(tmp_path / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<QdddBBBd", 11, 1.0, 2.0, 3.0, 10, 20, 30, 0.5))
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<ii", 7, 0))
+    pts = read_points3D_binary(tmp_path / "points3D.bin")
+    np.testing.assert_allclose(pts[11].xyz, [1.0, 2.0, 3.0])
+    assert pts[11].image_ids.tolist() == [7]
