@@ -304,7 +304,24 @@ def _refinement(
         n_rand_free = R.random_normal_toward_viewer(k_rn, cam, xs, ys)
         normal_rand = jnp.where(has_prior[..., None], n_rand_prior, n_rand_free)
     else:
-        u = R.uniform(k_rd, depth.shape)
+        rand_fast = _use_fast(inputs, params, True)
+        if rand_fast:
+            # tile-slab sampling: every (8,128) tile draws its random depths
+            # from one narrow inverse-depth slab per half-step (slab chosen
+            # uniformly), so the candidate field is tile-smooth and the
+            # windowed kernel covers it.  The per-pixel marginal stays
+            # inverse-depth-uniform; only the within-tile correlation changes,
+            # and a fresh slab is drawn every half-step (quality-gated on the
+            # goldens; PERF.md).
+            H_, W_ = depth.shape
+            slab = 1.0 / 16.0
+            th, tw = -(-H_ // 8), -(-W_ // 128)
+            k_slab, k_in = jax.random.split(k_rd)
+            u0 = R.uniform(k_slab, (th, tw), 0.0, 1.0 - slab)
+            u0 = jnp.repeat(jnp.repeat(u0, 8, 0), 128, 1)[:H_, :W_]
+            u = u0 + R.uniform(k_in, depth.shape) * slab
+        else:
+            u = R.uniform(k_rd, depth.shape)
         depth_rand = R.sample_depth_inv(u, dmin, dmax)
         normal_rand = R.random_normal_toward_viewer(k_rn, cam, xs, ys)
 
@@ -334,10 +351,13 @@ def _refinement(
         return _aggregate(cv, gv, sel.weights, sel.weight_norm,
                           params.geom_weight_refine, params)
 
-    # candidates 0 and 2 carry the iid random depth -- their sampling is
-    # scattered, so they stay on the exact path; the others are smooth
+    # candidates 0 and 2 carry the random depth; with tile-slab sampling the
+    # field is tile-smooth and may use the windowed kernel, otherwise (iid
+    # sampling, prior mode) those two stay on the exact path
+    rand_ok = (not params.planar_prior) and _use_fast(inputs, params, True)
     cand_costs = jnp.stack([
-        cand_cost(cand_normals[i], cand_w[i], allow_fast=i not in (0, 2))
+        cand_cost(cand_normals[i], cand_w[i],
+                  allow_fast=rand_ok or i not in (0, 2))
         for i in range(5)
     ])  # (5, H, W)
     cand_depth_at_pixel = jax.vmap(
