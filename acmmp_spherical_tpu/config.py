@@ -39,11 +39,15 @@ class PatchMatchParams:
     depth_max: float = 1.0
 
     # -- mode flags (ACMMP.h:50-54) -----------------------------------------
+    # note: the reference's ``upsample`` flag (ACMMP.h:54) has no equivalent
+    # here by design -- the in-kernel hypothesis JBU of RandomInitialization
+    # mode (c) (ACMMP.cu:713-779) is replaced by a host-side JBU of the coarse
+    # depth/normal fields before seeding (pass_runner.py), so no kernel needs
+    # to know whether sizes differ.
     geom_consistency: bool = False
     planar_prior: bool = False
     multi_geometry: bool = False
     hierarchy: bool = False
-    upsample: bool = False
 
     # -- propagation / view selection constants (ACMMP.cu) ------------------
     num_votes: int = 15              # importance-sample votes (ACMMP.cu:1187)
@@ -58,7 +62,10 @@ class PatchMatchParams:
     min_good_candidates: int = 2     # need count>2 for the mean path (ACMMP.cu:1177)
     geom_weight_prop: float = 0.2    # geom cost weight in propagation (ACMMP.cu:1216)
     geom_weight_refine: float = 0.1  # geom cost weight in refinement (ACMMP.cu:890)
-    geom_missing_penalty: float = 0.3  # 0.1*3.0 for invalid candidates (ACMMP.cu:1219)
+    # note: the reference's 0.1*3.0 penalty for invalid candidates in geom mode
+    # (ACMMP.cu:1219) has no knob here: invalid candidate regions carry cost
+    # +inf (a documented intended-semantics fix, see ops/propagate.py), so they
+    # can never win the argmin and the penalty term is unreachable.
     geom_max_cost: float = 3.0       # geometric consistency clamp (ACMMP.cu:648)
     cost_max: float = 2.0            # NCC cost clamp (ACMMP.cu:414)
 

@@ -42,6 +42,8 @@ PARAM_NAMES = {
     "FULL_OPENCV": ["fx", "fy", "cx", "cy", "k1", "k2", "p1", "p2",
                     "k3", "k4", "k5", "k6"],
     "FOV": ["fx", "fy", "cx", "cy", "omega"],
+    "SIMPLE_RADIAL_FISHEYE": ["f", "cx", "cy", "k"],
+    "RADIAL_FISHEYE": ["f", "cx", "cy", "k1", "k2"],
     "THIN_PRISM_FISHEYE": ["fx", "fy", "cx", "cy", "k1", "k2", "p1", "p2",
                            "k3", "k4", "sx1", "sy1"],
     "SPHERE": ["f", "cx", "cy"],

@@ -66,7 +66,24 @@ def compute_depth_ranges(images, points3d, extrinsics, cams, opts: ConvertOption
         ds = np.sort(d)
         dmin = ds[int(len(ds) * 0.2)] * 0.75
         dmax = ds[int(len(ds) * 0.8)] * 1.25
-        dnum = opts.max_d if opts.max_d > 0 else 192
+        if opts.max_d == 0:
+            # inverse-depth plane count (reference py:204-213): the number of
+            # inverse-depth steps between dmin and dmax such that one step
+            # moves the principal point by ~1 px.  ||P2-P1|| below is the
+            # world-space distance spanned by a 1-px shift at depth dmin.
+            K = cams[img.camera_id].K
+            Rw = E[:3, :3]
+            p1 = np.array([K[0, 2], K[1, 2], 1.0])
+            p2 = p1 + np.array([1.0, 0.0, 0.0])
+            P1 = Rw.T @ (np.linalg.inv(K) @ p1 * dmin - E[:3, 3])
+            P2 = Rw.T @ (np.linalg.inv(K) @ p2 * dmin - E[:3, 3])
+            dnum = int(
+                (1.0 / dmin - 1.0 / dmax)
+                / (1.0 / dmin - 1.0 / (dmin + np.linalg.norm(P2 - P1)))
+            )
+            dnum = max(dnum, 2)  # guard the dint division (robustness fix)
+        else:
+            dnum = opts.max_d
         dint = (dmax - dmin) / (dnum - 1) / opts.interval_scale
         ranges[i] = (dmin, dint, dnum, dmax)
     return ranges

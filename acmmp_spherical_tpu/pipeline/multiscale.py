@@ -112,7 +112,11 @@ def run_fusion(sp: ScenePaths, problems: Sequence[Problem], cfg: PipelineConfig,
         return 0
 
     id_to_index = {im_id: i for i, im_id in enumerate(ids)}
-    K = min(cfg.fusion.max_src_views, cfg.max_src_views)
+    # fusion remaps up to fusion.max_src_views (32) sources per reference view
+    # (reference FusionProblem, ACMMP.cu:1656-1661, 2000-2017) -- independent
+    # of the PatchMatch-stack cap cfg.max_src_views, so scenes with long
+    # pair.txt neighbour lists keep their fusion evidence.
+    K = cfg.fusion.max_src_views
     src_idx = np.full((len(ids), K), -1, np.int32)
     for row, p in enumerate([q for q in problems if q.ref_image_id in id_to_index]):
         col = 0

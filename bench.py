@@ -11,10 +11,16 @@ Prints exactly one JSON line:
     {"metric": "depth_maps_per_s_per_chip", "value": ..., "unit": "1024x768x8src photometric passes/s", "vs_baseline": ...}
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md).  The
-anchor used here is an estimated 1.0 pass/s for the reference CUDA
-implementation on its stated GTX 1080 Ti at the same operating point (order of
-magnitude from the ACMMP TPAMI'22 paper's reported per-view runtimes); the
-driver-defined target is vs_baseline >= 2.
+anchor is an *analytic* GTX 1080 Ti estimate derived in BASELINE.md ("Analytic
+1080 Ti anchor"): ~1.07 TFLOP per 1024x768x8src photometric pass through the
+reference kernels (ACMMP.cu:938-1349 op counts) at a 10-25% - of - peak
+efficiency band for this divergent, gather-heavy workload on an 11.3 TFLOP/s
+part -> 1.0-2.6 passes/s, central estimate 1.6.  The driver-defined target is
+vs_baseline >= 2.
+
+The JSON line also carries a secondary machine-readable metric: the
+geometric-consistency pass throughput (2 seeded iterations + geom cost), which
+is 2 of the 3 passes every image runs per scale.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ import time
 
 import numpy as np
 
-BASELINE_PASSES_PER_S = 1.0  # estimated GTX 1080 Ti reference throughput
+BASELINE_PASSES_PER_S = 1.6  # analytic GTX 1080 Ti anchor (BASELINE.md)
 
 
 def _probe_device() -> bool:
@@ -50,7 +56,7 @@ def main() -> None:
     if small:
         W, H, n_src, reps = 96, 72, 3, 2
     else:
-        W, H, n_src, reps = 1024, 768, 8, 2
+        W, H, n_src, reps = 1024, 768, 8, 3
 
     if not _probe_device():
         print("[bench] default platform unavailable; falling back to CPU",
@@ -128,9 +134,31 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     best = min(times)
     depth = np.asarray(out[0])
+    normal_world = out[1]
     rel = np.abs(depth[8:-8, 8:-8] - gt_depth[0][8:-8, 8:-8]) / gt_depth[0][8:-8, 8:-8]
     print(f"[bench] pass times: {['%.3f' % t for t in times]}; "
           f"median rel depth err {np.median(rel):.4f}", file=sys.stderr)
+
+    # geometric-consistency pass (2 iterations, seeded from the photometric
+    # result, source depths = each view's depth map; reference main.cpp:436-446)
+    geom_params = params.with_geom(multi_geometry=False)
+    geom_inputs = inputs._replace(src_depths=jnp.asarray(gt_depth[1:]))
+    gout = run_patchmatch(geom_inputs, geom_params, jax.random.key(100),
+                          seed_normal_world=normal_world,
+                          seed_depth=out[0])
+    jax.block_until_ready(gout)
+    gtimes = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        gout = run_patchmatch(geom_inputs, geom_params,
+                              jax.random.key(101 + r),
+                              seed_normal_world=normal_world,
+                              seed_depth=out[0])
+        jax.block_until_ready(gout)
+        gtimes.append(time.perf_counter() - t0)
+    gbest = min(gtimes)
+    print(f"[bench] geom pass times: {['%.3f' % t for t in gtimes]}",
+          file=sys.stderr)
 
     value = 1.0 / best
     print(json.dumps({
@@ -138,6 +166,8 @@ def main() -> None:
         "value": round(value, 4),
         "unit": f"{W}x{H}x{n_src}src photometric passes/s",
         "vs_baseline": round(value / BASELINE_PASSES_PER_S, 4),
+        "geom_value": round(1.0 / gbest, 4),
+        "geom_unit": f"{W}x{H}x{n_src}src geometric passes/s",
     }))
 
 

@@ -154,3 +154,47 @@ def test_colmap_binary_roundtrip(tmp_path):
     pts = read_points3D_binary(tmp_path / "points3D.bin")
     np.testing.assert_allclose(pts[11].xyz, [1.0, 2.0, 3.0])
     assert pts[11].image_ids.tolist() == [7]
+
+
+def test_fisheye_camera_param_layouts():
+    """Model ids 8/9 (SIMPLE_RADIAL_FISHEYE / RADIAL_FISHEYE) expose .K
+    (reference colmap2mvsnet_acm.py:48-61 supports them; VERDICT missing #6)."""
+    from acmmp_spherical_tpu.pipeline.colmap import ColmapCamera
+
+    c8 = ColmapCamera(1, "SIMPLE_RADIAL_FISHEYE", 64, 48,
+                      np.array([50.0, 32.0, 24.0, 0.1]))
+    K = c8.K
+    np.testing.assert_allclose([K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+                               [50.0, 50.0, 32.0, 24.0])
+    c9 = ColmapCamera(2, "RADIAL_FISHEYE", 64, 48,
+                      np.array([50.0, 32.0, 24.0, 0.1, 0.01]))
+    np.testing.assert_allclose(c9.K[0, 0], 50.0)
+
+
+def test_inverse_depth_plane_count_max_d_zero():
+    """--max_d 0 derives the plane count from the 1-px inverse-depth step
+    (reference colmap2mvsnet_acm.py:204-213).  With identity extrinsics the
+    closed form is dnum = (1 - dmin/dmax) * (fx + 1)."""
+    from types import SimpleNamespace
+
+    from acmmp_spherical_tpu.pipeline.colmap import ColmapCamera
+    from acmmp_spherical_tpu.pipeline.convert import compute_depth_ranges
+
+    fx = 100.0
+    cam = ColmapCamera(1, "PINHOLE", 64, 48, np.array([fx, fx, 32.0, 24.0]))
+    depths = np.linspace(2.0, 8.0, 50)
+    pts = {i + 1: SimpleNamespace(xyz=np.array([0.0, 0.0, d]))
+           for i, d in enumerate(depths)}
+    img = SimpleNamespace(camera_id=1,
+                          point3D_ids=np.arange(1, len(depths) + 1))
+    extr = {1: np.eye(4)}
+    ranges = compute_depth_ranges({1: img}, pts, extr, {1: cam},
+                                  ConvertOptions(max_d=0))
+    dmin, dint, dnum, dmax = ranges[1]
+    ds = np.sort(depths)
+    exp_dmin = ds[int(len(ds) * 0.2)] * 0.75
+    exp_dmax = ds[int(len(ds) * 0.8)] * 1.25
+    np.testing.assert_allclose(dmin, exp_dmin)
+    np.testing.assert_allclose(dmax, exp_dmax)
+    assert dnum == int((1.0 - exp_dmin / exp_dmax) * (fx + 1.0))
+    np.testing.assert_allclose(dint, (dmax - dmin) / (dnum - 1))
