@@ -54,7 +54,8 @@ def pack_pair_params(ref_cam: Camera, src_cams: Cameras) -> jax.Array:
 
     Layout: [0:9] R_rel (row major), [9:12] t_rel, [12] fx_ref_inv, [13]
     fy_ref_inv, [14] cx_ref, [15] cy_ref, [16] fx_src, [17] fy_src, [18]
-    cx_src, [19] cy_src, [20] src_w, [21] src_h.
+    cx_src, [19] cy_src, [20] src_w, [21] src_h, [22] fx_ref, [23] fy_ref,
+    [24] fx_src_inv, [25] fy_src_inv.
     ``X_src = R_rel @ (ray_ref * depth) + t_rel`` (cancels the world hop).
     """
     def per_view(src):
@@ -73,6 +74,10 @@ def pack_pair_params(ref_cam: Camera, src_cams: Cameras) -> jax.Array:
         row = row.at[19].set(src.K[1, 2])
         row = row.at[20].set(src.width)
         row = row.at[21].set(src.height)
+        row = row.at[22].set(ref_cam.K[0, 0])
+        row = row.at[23].set(ref_cam.K[1, 1])
+        row = row.at[24].set(1.0 / src.K[0, 0])
+        row = row.at[25].set(1.0 / src.K[1, 1])
         return row
 
     return jax.vmap(
@@ -119,10 +124,15 @@ def compute_center_windows(
     return off_y, off_x
 
 
-def _ncc_kernel(off_y_ref, off_x_ref, toff_ref, cam_ref, src_ref,
-                nx_ref, ny_ref, nz_ref, w_ref, xs_ref, ys_ref,
-                taps_ref, wgt_ref, out_ref, win, sem,
-                *, n_taps, params: PatchMatchParams):
+def _ncc_kernel(off_y_ref, off_x_ref, toff_ref, cam_ref, src_ref, *rest,
+                n_taps, params: PatchMatchParams, with_geom: bool):
+    if with_geom:
+        (dep_ref, nx_ref, ny_ref, nz_ref, w_ref, xs_ref, ys_ref,
+         taps_ref, wgt_ref, out_ref, gout_ref, win, dwin, sem, dsem) = rest
+    else:
+        (nx_ref, ny_ref, nz_ref, w_ref, xs_ref, ys_ref,
+         taps_ref, wgt_ref, out_ref, win, sem) = rest
+        dep_ref = gout_ref = dwin = dsem = None
     s = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -135,6 +145,11 @@ def _ncc_kernel(off_y_ref, off_x_ref, toff_ref, cam_ref, src_ref,
         src_ref.at[s, pl.ds(y0, WIN_H), pl.ds(x0, WIN_W)], win, sem
     )
     cp.start()
+    if with_geom:
+        dcp = pltpu.make_async_copy(
+            dep_ref.at[s, pl.ds(y0, WIN_H), pl.ds(x0, WIN_W)], dwin, dsem
+        )
+        dcp.start()
 
     def c(k):
         return cam_ref[0, 0, k]
@@ -261,6 +276,69 @@ def _ncc_kernel(off_y_ref, off_x_ref, toff_ref, cam_ref, src_ref,
     bad = (s_bw < 1e-6) | (var_ref < 1e-5) | (var_src < 1e-5) | ~center_in
     out_ref[0] = jnp.where(bad, params.cost_max, cost)
 
+    if with_geom:
+        # fused geometric-consistency cost (reference ACMMP.cu:646-671):
+        # look up the source depth at the truncated centre projection, then
+        # forward-backward reproject.  The depth window shares the NCC window
+        # origin -- both are centred on the same projection.
+        dcp.wait()
+        gmax = params.geom_max_cost
+        pxc, pyc, _ = project(0.0, 0.0)
+        xi = pxc.astype(jnp.int32)  # C-truncation ((int)x, ACMMP.cu:657)
+        yi = pyc.astype(jnp.int32)
+        in_img = ((pxc >= 0.0) & (xi < c(20).astype(jnp.int32))
+                  & (pyc >= 0.0) & (yi < c(21).astype(jnp.int32)))
+        relx = xi - x0
+        rely = yi - y0
+        in_win = (relx >= 0) & (relx <= WIN_W - 1) & (rely >= 0) & (rely <= WIN_H - 1)
+        ok = in_img & in_win
+        relx_c = jnp.clip(relx, 0, WIN_W - 1)
+        rely_c = jnp.clip(rely, 0, WIN_H - 1)
+        zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        rmin = jnp.min(rely_c)
+        rmax = jnp.max(rely_c)
+
+        def dgroup(base, acc):
+            for r in range(base, base + TILE_H):
+                g = zero
+                for cidx in range(n_chunks):
+                    chunk = jnp.broadcast_to(
+                        dwin[r:r + 1, cidx * TILE_W:(cidx + 1) * TILE_W],
+                        (TILE_H, TILE_W))
+                    i0 = jnp.clip(relx_c - cidx * TILE_W, 0, TILE_W - 1)
+                    v0 = jnp.take_along_axis(chunk, i0, axis=1,
+                                             mode="promise_in_bounds")
+                    g = jnp.where((relx_c >= cidx * TILE_W)
+                                  & (relx_c < (cidx + 1) * TILE_W), v0, g)
+                acc = jnp.where(rely_c == r, g, acc)
+            return acc
+
+        src_d = zero
+        for gidx in range(WIN_H // TILE_H):
+            lo = gidx * TILE_H
+            src_d = jax.lax.cond(
+                (rmax >= lo) & (rmin < lo + TILE_H),
+                lambda a, lo=lo: dgroup(lo, a),
+                lambda a: a,
+                src_d,
+            )
+        # unproject the *float* projection at the looked-up depth
+        # (ACMMP.cu:663), map into the ref frame with R_rel^T, re-project
+        rxs = (pxc - c(18)) * c(24)
+        rys = (pyc - c(19)) * c(25)
+        ax = rxs * src_d - c(9)
+        ay = rys * src_d - c(10)
+        az = src_d - c(11)
+        Xr_x = c(0) * ax + c(3) * ay + c(6) * az
+        Xr_y = c(1) * ax + c(4) * ay + c(7) * az
+        Xr_z = c(2) * ax + c(5) * ay + c(8) * az
+        inv_z = 1.0 / jnp.where(jnp.abs(Xr_z) < 1e-6, 1e-6, Xr_z)
+        bx = c(22) * Xr_x * inv_z + c(14)
+        by = c(23) * Xr_y * inv_z + c(15)
+        err = jnp.sqrt((xs - bx) ** 2 + (ys - by) ** 2)
+        gcost = jnp.minimum(gmax, err)
+        gout_ref[0] = jnp.where(ok & (src_d > 0.0), gcost, gmax)
+
 
 @functools.partial(
     jax.jit, static_argnames=("params", "interpret")
@@ -273,24 +351,30 @@ def windowed_multiview_ncc(
     w: jax.Array,            # (H, W)
     ctx: RefTapContext,      # fields on the same grid
     params: PatchMatchParams,
+    src_depths: jax.Array | None = None,  # (S, Hp, Wp): also emit geom cost
     *,
     interpret: bool = False,
-) -> jax.Array:
+):
     """Drop-in fast replacement for :func:`ops.ncc.multiview_ncc` (pinhole).
 
     Returns (S, H, W) costs; positions whose sampling left the per-tile window
-    cost ``cost_max`` (centre) / lose the tap (others).
+    cost ``cost_max`` (centre) / lose the tap (others).  With ``src_depths``
+    the kernel also computes the geometric-consistency cost from a fused depth
+    window (same origin) and returns ``(cost, geom_cost)``.
     """
     assert ref_cam.model == PINHOLE and src_cams.model == PINHOLE
     S, Hp, Wp = src_images.shape
     H, W = w.shape
     assert H % TILE_H == 0 and W % TILE_W == 0, (H, W)
     ty, tx = H // TILE_H, W // TILE_W
+    with_geom = src_depths is not None
 
     pad_h = max(WIN_H - Hp, 0)
     pad_w = max(WIN_W - Wp, 0)
     if pad_h or pad_w:
         src_images = jnp.pad(src_images, ((0, 0), (0, pad_h), (0, pad_w)))
+        if with_geom:
+            src_depths = jnp.pad(src_depths, ((0, 0), (0, pad_h), (0, pad_w)))
 
     off_y, off_x = compute_center_windows(
         src_cams, ref_cam, normal, w, ctx.xs, ctx.ys, src_images.shape[1:]
@@ -302,37 +386,52 @@ def windowed_multiview_ncc(
     toff = jnp.zeros((2 * T,), jnp.int32)
     toff = toff.at[0::2].set(ctx.offsets[:, 0].astype(jnp.int32))
     toff = toff.at[1::2].set(ctx.offsets[:, 1].astype(jnp.int32))
-    kernel = functools.partial(_ncc_kernel, n_taps=T, params=params)
+    kernel = functools.partial(_ncc_kernel, n_taps=T, params=params,
+                               with_geom=with_geom)
+
+    tile_spec = lambda plane: pl.BlockSpec(
+        (1, TILE_H, TILE_W), lambda s, i, j, *_, p=plane: (p, i, j))
+    in_specs = [
+        pl.BlockSpec((1, 1, 128), lambda s, i, j, *_: (s, 0, 0)),     # cam
+        pl.BlockSpec(memory_space=pltpu.ANY),                         # src
+    ]
+    if with_geom:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))         # depths
+    in_specs += [
+        tile_spec(0), tile_spec(1), tile_spec(2),                     # nx ny nz
+        tile_spec(0),                                                 # w
+        tile_spec(0), tile_spec(0),                                   # xs ys
+        pl.BlockSpec((T, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # taps
+        pl.BlockSpec((T, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # wgts
+    ]
+    out_spec = pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (s, i, j))
+    scratch = [
+        pltpu.VMEM((WIN_H, WIN_W), jnp.float32),
+    ]
+    if with_geom:
+        scratch.append(pltpu.VMEM((WIN_H, WIN_W), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA)
+    if with_geom:
+        scratch.append(pltpu.SemaphoreType.DMA)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(S, ty, tx),
-        in_specs=[
-            pl.BlockSpec((1, 1, 128), lambda s, i, j, *_: (s, 0, 0)),     # cam
-            pl.BlockSpec(memory_space=pltpu.ANY),                         # src
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # nx
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (1, i, j)),  # ny
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (2, i, j)),  # nz
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # w
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # xs
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # ys
-            pl.BlockSpec((T, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # taps
-            pl.BlockSpec((T, TILE_H, TILE_W), lambda s, i, j, *_: (0, i, j)),  # wgts
-        ],
-        out_specs=pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j, *_: (s, i, j)),
-        scratch_shapes=[
-            pltpu.VMEM((WIN_H, WIN_W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec) if with_geom else out_spec,
+        scratch_shapes=scratch,
     )
+    out_shape = jax.ShapeDtypeStruct((S, H, W), jnp.float32)
     ncf = jnp.moveaxis(normal, -1, 0)  # (3, H, W)
+    args = [off_y.reshape(-1), off_x.reshape(-1), toff,
+            cam_rows[:, None, :], src_images]
+    if with_geom:
+        args.append(src_depths)
+    args += [ncf, ncf, ncf, w[None], ctx.xs[None], ctx.ys[None],
+             ctx.ref_taps, ctx.weights]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, H, W), jnp.float32),
+        out_shape=(out_shape, out_shape) if with_geom else out_shape,
         interpret=interpret,
-    )(
-        off_y.reshape(-1), off_x.reshape(-1), toff,
-        cam_rows[:, None, :], src_images, ncf, ncf, ncf, w[None], ctx.xs[None], ctx.ys[None],
-        ctx.ref_taps, ctx.weights,
-    )
+    )(*args)

@@ -99,8 +99,12 @@ def prepare_inputs(inputs: "PatchMatchInputs") -> "PatchMatchInputs":
     return inputs._replace(src_packed=packed)
 
 
-def _fast_cost_vector(inputs, ctx, normal, w, params):
-    """Windowed-kernel NCC with tile-alignment padding (PERF.md)."""
+def _fast_cost_vector(inputs, ctx, normal, w, params, *, with_geom=False):
+    """Windowed-kernel NCC with tile-alignment padding (PERF.md).
+
+    ``with_geom`` also computes the geometric-consistency cost from a fused
+    depth window in the same kernel invocation; returns ``(cv, gv)`` then.
+    """
     from acmmp_spherical_tpu.ops.pallas.ncc_window import (
         TILE_H, TILE_W, windowed_multiview_ncc,
     )
@@ -119,13 +123,14 @@ def _fast_cost_vector(inputs, ctx, normal, w, params):
         normal = pad3(normal)
         w = pad2(w)
     interpret = jax.default_backend() != "tpu"
-    cv = windowed_multiview_ncc(
+    out = windowed_multiview_ncc(
         inputs.src_images, inputs.src_cams, inputs.ref_cam, normal, w, ctx,
-        params, interpret=interpret,
+        params, inputs.src_depths if with_geom else None, interpret=interpret,
     )
-    if ph or pw_:
-        cv = cv[:, :H, :W]
-    return cv
+    crop = (lambda a: a[:, :H, :W]) if (ph or pw_) else (lambda a: a)
+    if with_geom:
+        return crop(out[0]), crop(out[1])
+    return crop(out)
 
 
 def _depth_range(inputs, params):
@@ -172,6 +177,32 @@ def _geom_vec(inputs, normal, w, xs, ys, params):
         inputs.src_depths, inputs.src_cams, inputs.ref_cam, normal, w, xs, ys, params
     )
     return jnp.where(inputs.src_valid[:, None, None], gc, params.geom_max_cost)
+
+
+def _cost_and_geom(inputs, ctx, normal, w, params, *, allow_fast=True):
+    """(photometric cost vector, geom cost vector | None), padded views masked.
+
+    In geom passes on the fast path both costs come from ONE fused kernel
+    invocation (the depth lookup rides the NCC window DMA); otherwise the
+    exact XLA paths are used.
+    """
+    geom_on = params.geom_consistency and inputs.src_depths is not None
+    if _use_fast(inputs, params, allow_fast):
+        if geom_on:
+            cv, gv = _fast_cost_vector(inputs, ctx, normal, w, params,
+                                       with_geom=True)
+        else:
+            cv, gv = _fast_cost_vector(inputs, ctx, normal, w, params), None
+    else:
+        cv = multiview_ncc(
+            inputs.src_images, inputs.src_cams, inputs.ref_cam, normal, w, ctx,
+            params, src_packed=inputs.src_packed,
+        )
+        gv = _geom_vec(inputs, normal, w, ctx.xs, ctx.ys, params) if geom_on else None
+    cv = jnp.where(inputs.src_valid[:, None, None], cv, params.cost_max)
+    if gv is not None:
+        gv = jnp.where(inputs.src_valid[:, None, None], gv, params.geom_max_cost)
+    return cv, gv
 
 
 def _prior_weight(depth, normal, prior_depth, prior_normal, params, dmin, dmax):
@@ -345,9 +376,8 @@ def _refinement(
     )
 
     def cand_cost(n_i, w_i, allow_fast):
-        cv = _masked_cost_vector(inputs, ctx, n_i, w_i, params,
-                                 allow_fast=allow_fast)
-        gv = _geom_vec(inputs, n_i, w_i, xs, ys, params)
+        cv, gv = _cost_and_geom(inputs, ctx, n_i, w_i, params,
+                                allow_fast=allow_fast)
         return _aggregate(cv, gv, sel.weights, sel.weight_norm,
                           params.geom_weight_refine, params)
 
@@ -432,9 +462,11 @@ def _halfstep_core(
     k_votes, k_refine = jax.random.split(key)
     dmin, dmax = _depth_range(inputs, params)
 
-    # 2. per-candidate multi-view photometric cost vectors (8, S, ...)
-    cost_arrays = jax.lax.map(
-        lambda nw: _masked_cost_vector(inputs, ctx, nw[0], nw[1], params),
+    # 2. per-candidate multi-view photometric + geometric cost vectors
+    # (8, S, ...) each -- one fused kernel invocation per candidate on the
+    # fast path (the geom depth lookup rides the NCC window DMA)
+    cost_arrays, geom_arrays = jax.lax.map(
+        lambda nw: _cost_and_geom(inputs, ctx, nw[0], nw[1], params),
         (cands.normal, cands.w),
     )
 
@@ -443,15 +475,6 @@ def _halfstep_core(
         cost_arrays, cands.valid, priors, inputs.src_valid,
         params, k_votes, iteration,
     )
-
-    # 4. candidate aggregation (+ geometric consistency in geom passes)
-    if params.geom_consistency and inputs.src_depths is not None:
-        geom_arrays = jax.lax.map(
-            lambda nw: _geom_vec(inputs, nw[0], nw[1], xs, ys, params),
-            (cands.normal, cands.w),
-        )
-    else:
-        geom_arrays = None
 
     def agg_k(k_idx):
         gv = None if geom_arrays is None else geom_arrays[k_idx]
@@ -464,8 +487,7 @@ def _halfstep_core(
     no_votes = sel.weight_norm <= 0.0
 
     # 5. current-plane cost under this half-step's view weights
-    cv_now = _masked_cost_vector(inputs, ctx, cur_normal, cur_w, params)
-    gv_now = _geom_vec(inputs, cur_normal, cur_w, xs, ys, params)
+    cv_now, gv_now = _cost_and_geom(inputs, ctx, cur_normal, cur_w, params)
     cost_now0 = _aggregate(cv_now, gv_now, sel.weights, sel.weight_norm,
                            params.geom_weight_prop, params)
     cost_now0 = jnp.where(no_votes, cur_cost, cost_now0)
