@@ -84,6 +84,11 @@ class PatchMatchParams:
     # all-fast default loses no median accuracy because the exact
     # random-depth refinement evals keep exploring -- see PERF.md)
     exact_first_iteration: bool = False
+    # epipolar-rectified NCC kernel (ops/pallas/ncc_rect.py): the fastest path
+    # for photometric/hierarchy passes on rectifiable pinhole pairs.  The
+    # pipeline enables it per problem after the host_rectifiable gate; prior
+    # and geometric passes keep the windowed kernel (fast_ncc).
+    rect_ncc: bool = False
 
     # -- planar prior model (ACMMP.cu:818-824, 1249-1255) --------------------
     prior_gamma: float = 0.5
@@ -157,6 +162,9 @@ class PipelineConfig:
     planar_prior: bool = True        # run the prior-assisted second round
     fast_ncc: str = "auto"           # windowed NCC kernel: "auto" = on for
                                      # TPU pinhole scenes, "on", "off"
+    rect_ncc: str = "auto"           # epipolar-rectified NCC kernel: "auto" =
+                                     # on for TPU pinhole problems passing the
+                                     # host_rectifiable gate, "on", "off"
     seed: int = 0                    # global RNG seed (reference used clock64();
                                      # we are deterministic by design)
     max_src_views: int = 20          # pad/truncate source views per problem

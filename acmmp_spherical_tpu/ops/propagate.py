@@ -83,20 +83,38 @@ class PatchMatchInputs(NamedTuple):
     # bake into the compiled program (a static range would recompile every
     # image; reference ACMMP.cpp:645-646 sets it per problem)
     depth_range: Optional[jax.Array] = None
+    # per-pass rectified working set (ops/rectify.RectContext) when the
+    # rectified kernel path is active
+    rect: Optional[object] = None
 
 
-def prepare_inputs(inputs: "PatchMatchInputs") -> "PatchMatchInputs":
+def prepare_inputs(inputs: "PatchMatchInputs",
+                   params: Optional[PatchMatchParams] = None) -> "PatchMatchInputs":
     """Precompute the packed bilinear corner tables for all source views
-    (one gather row per NCC sample; see sampling.pack_bilinear)."""
+    (one gather row per NCC sample; see sampling.pack_bilinear), and the
+    rectified working set when ``params.rect_ncc``."""
+    from acmmp_spherical_tpu.core.camera import PINHOLE
     from acmmp_spherical_tpu.ops.sampling import pack_bilinear
 
-    if inputs.src_packed is not None:
-        return inputs
-    wrap = inputs.src_cams.model == SPHERE
-    packed = jax.vmap(
-        lambda img, wd, ht: pack_bilinear(img, wd, ht, wrap_x=wrap)
-    )(inputs.src_images, inputs.src_cams.width, inputs.src_cams.height)
-    return inputs._replace(src_packed=packed)
+    if inputs.src_packed is None:
+        wrap = inputs.src_cams.model == SPHERE
+        packed = jax.vmap(
+            lambda img, wd, ht: pack_bilinear(img, wd, ht, wrap_x=wrap)
+        )(inputs.src_images, inputs.src_cams.width, inputs.src_cams.height)
+        inputs = inputs._replace(src_packed=packed)
+    if (params is not None and params.rect_ncc and inputs.rect is None
+            and not params.planar_prior and not params.geom_consistency
+            and inputs.ref_cam.model == PINHOLE
+            and inputs.src_cams.model == PINHOLE):
+        from acmmp_spherical_tpu.ops.rectify import build_rect_context
+
+        dr = _depth_range(inputs, params)
+        rect = build_rect_context(
+            inputs.ref_image, inputs.src_images, inputs.ref_cam,
+            inputs.src_cams, dr, src_packed=inputs.src_packed,
+        )
+        inputs = inputs._replace(rect=rect)
+    return inputs
 
 
 def _fast_cost_vector(inputs, ctx, normal, w, params, *, with_geom=False):
@@ -177,6 +195,63 @@ def _geom_vec(inputs, normal, w, xs, ys, params):
         inputs.src_depths, inputs.src_cams, inputs.ref_cam, normal, w, xs, ys, params
     )
     return jnp.where(inputs.src_valid[:, None, None], gc, params.geom_max_cost)
+
+
+def _use_rect(inputs, params, allow_fast=True):
+    """Rectified-kernel eligibility: photometric/hierarchy passes on
+    rectifiable pinhole problems.  Prior and geom passes keep the windowed
+    kernel (their extra cost terms ride that kernel's windows)."""
+    from acmmp_spherical_tpu.core.camera import PINHOLE
+
+    return (
+        params.rect_ncc
+        and allow_fast
+        and inputs.rect is not None
+        and not params.planar_prior
+        and not params.geom_consistency
+        and inputs.ref_cam.model == PINHOLE
+        and inputs.src_cams.model == PINHOLE
+    )
+
+
+def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
+    """Photometric + geometric cost vectors for a batch of candidate fields.
+
+    normals (C, H, W, 3), ws (C, H, W) on the FULL grid.  Returns
+    (cv (C, S, H, W), gv (C, S, H, W) | None).  ``exact_idx``: candidate
+    indices forced through the exact path.  Rectified mode evaluates the whole
+    batch in one kernel invocation (the plane gather amortises over C).
+    """
+    if _use_rect(inputs, params):
+        # rect mode excludes geom passes (_use_rect), so gv is always None
+        from acmmp_spherical_tpu.ops.pallas.ncc_rect import rect_batched_ncc
+
+        interpret = jax.default_backend() != "tpu"
+        cv = rect_batched_ncc(inputs.rect, normals, ws, params,
+                              interpret=interpret)
+        for i in exact_idx:
+            cvi = multiview_ncc(
+                inputs.src_images, inputs.src_cams, inputs.ref_cam,
+                normals[i], ws[i], ctx, params,
+                src_packed=inputs.src_packed,
+            )
+            cv = cv.at[i].set(cvi)
+        cv = jnp.where(inputs.src_valid[None, :, None, None], cv,
+                       params.cost_max)
+        return cv, None
+    if not exact_idx:
+        return jax.lax.map(
+            lambda nw: _cost_and_geom(inputs, ctx, nw[0], nw[1], params),
+            (normals, ws),
+        )
+    # per-candidate allow_fast (exact_idx) path: unrolled
+    cvs, gvs = [], []
+    for i in range(ws.shape[0]):
+        cv_i, gv_i = _cost_and_geom(inputs, ctx, normals[i], ws[i], params,
+                                    allow_fast=i not in exact_idx)
+        cvs.append(cv_i)
+        gvs.append(gv_i)
+    return jnp.stack(cvs), (jnp.stack(gvs) if gvs[0] is not None else None)
 
 
 def _cost_and_geom(inputs, ctx, normal, w, params, *, allow_fast=True):
@@ -335,7 +410,8 @@ def _refinement(
         n_rand_free = R.random_normal_toward_viewer(k_rn, cam, xs, ys)
         normal_rand = jnp.where(has_prior[..., None], n_rand_prior, n_rand_free)
     else:
-        rand_fast = _use_fast(inputs, params, True)
+        rand_fast = (_use_fast(inputs, params, True)
+                     or _use_rect(inputs, params))
         if rand_fast:
             # tile-slab sampling: every (8,128) tile draws its random depths
             # from one narrow inverse-depth slab per half-step (slab chosen
@@ -375,19 +451,18 @@ def _refinement(
         cand_depths, cand_normals
     )
 
-    def cand_cost(n_i, w_i, allow_fast):
-        cv, gv = _cost_and_geom(inputs, ctx, n_i, w_i, params,
-                                allow_fast=allow_fast)
-        return _aggregate(cv, gv, sel.weights, sel.weight_norm,
-                          params.geom_weight_refine, params)
-
     # candidates 0 and 2 carry the random depth; with tile-slab sampling the
-    # field is tile-smooth and may use the windowed kernel, otherwise (iid
-    # sampling, prior mode) those two stay on the exact path
-    rand_ok = (not params.planar_prior) and _use_fast(inputs, params, True)
+    # field is tile-smooth and may use the windowed/rect kernel, otherwise
+    # (iid sampling, prior mode) those two stay on the exact path
+    rand_ok = (not params.planar_prior) and (
+        _use_fast(inputs, params, True) or _use_rect(inputs, params))
+    cv5, gv5 = _batched_cost_vectors(
+        inputs, ctx, params, cand_normals, cand_w,
+        exact_idx=() if rand_ok else (0, 2),
+    )
     cand_costs = jnp.stack([
-        cand_cost(cand_normals[i], cand_w[i],
-                  allow_fast=rand_ok or i not in (0, 2))
+        _aggregate(cv5[i], None if gv5 is None else gv5[i], sel.weights,
+                   sel.weight_norm, params.geom_weight_refine, params)
         for i in range(5)
     ])  # (5, H, W)
     cand_depth_at_pixel = jax.vmap(
@@ -464,11 +539,21 @@ def _halfstep_core(
 
     # 2. per-candidate multi-view photometric + geometric cost vectors
     # (8, S, ...) each -- one fused kernel invocation per candidate on the
-    # fast path (the geom depth lookup rides the NCC window DMA)
-    cost_arrays, geom_arrays = jax.lax.map(
-        lambda nw: _cost_and_geom(inputs, ctx, nw[0], nw[1], params),
-        (cands.normal, cands.w),
-    )
+    # fast path (the geom depth lookup rides the NCC window DMA).  In rect
+    # mode the 8 candidates AND the current plane (step 5) are evaluated in
+    # ONE batched kernel invocation: the plane gather amortises over C=9.
+    if _use_rect(inputs, params):
+        all_n = jnp.concatenate([cands.normal, cur_normal[None]], axis=0)
+        all_w = jnp.concatenate([cands.w, cur_w[None]], axis=0)
+        cv_all, _ = _batched_cost_vectors(inputs, ctx, params, all_n, all_w)
+        cost_arrays, geom_arrays = cv_all[:8], None
+        now_vecs = (cv_all[8], None)
+    else:
+        cost_arrays, geom_arrays = jax.lax.map(
+            lambda nw: _cost_and_geom(inputs, ctx, nw[0], nw[1], params),
+            (cands.normal, cands.w),
+        )
+        now_vecs = None
 
     # 3. joint view selection
     sel = joint_view_selection(
@@ -487,7 +572,10 @@ def _halfstep_core(
     no_votes = sel.weight_norm <= 0.0
 
     # 5. current-plane cost under this half-step's view weights
-    cv_now, gv_now = _cost_and_geom(inputs, ctx, cur_normal, cur_w, params)
+    if now_vecs is not None:
+        cv_now, gv_now = now_vecs
+    else:
+        cv_now, gv_now = _cost_and_geom(inputs, ctx, cur_normal, cur_w, params)
     cost_now0 = _aggregate(cv_now, gv_now, sel.weights, sel.weight_norm,
                            params.geom_weight_prop, params)
     cost_now0 = jnp.where(no_votes, cur_cost, cost_now0)
@@ -608,7 +696,10 @@ def checkerboard_halfstep(
                                    wrap_x=wrap)
 
     has_prior = params.planar_prior and inputs.prior_normal is not None
-    if H % 2 == 0 and W % 2 == 0:
+    # rect mode computes full-grid (the rect kernel evaluates the whole
+    # rectified frame regardless, and its gather maps are full-grid); the
+    # parity-masked commit below keeps checkerboard semantics
+    if H % 2 == 0 and W % 2 == 0 and not _use_rect(inputs, params):
         P = lambda a: checkerboard_pack(a, parity)
         Pc = lambda a: _pack_hw(a, parity, channels_last=True)
         xs_p, ys_p = checkerboard_coords(H, W, parity)

@@ -1,0 +1,382 @@
+"""Epipolar rectification for the fast NCC path (pinhole pairs).
+
+The round-1 windowed kernel pays ~window-height/8 one-hot row passes per
+bilinear sample because a plane hypothesis moves the source sample in both x
+and y (PERF.md).  Rectifying each (ref, src) pair -- rotating both cameras
+onto the baseline so corresponding points share a row -- removes the y degree
+of freedom entirely:
+
+* a plane hypothesis induces an **affine disparity** over the rectified grid
+  (``disp(x, y) = a*(x-cx) + b*(y-cy) + c`` with (a, b, c) linear in the
+  plane parameters), and
+* the source sample for rectified-ref pixel ``(x, y)`` sits at
+  ``(x - disp, y)`` -- same integer row, so in-kernel sampling collapses to
+  static row slices plus lane gathers in x.
+
+The rectified evaluation is an *algorithmic reformulation*, not a bit-exact
+port of reference ComputeBilateralNCC (ACMMP.cu:398-516): the NCC patch is
+taken on the rectified grid (a projectively warped patch in the original
+frame) and the cost field is evaluated at rectified pixel centres then
+nearest-mapped back to original pixels.  Quality is gated on the synthetic
+goldens (tests/test_rectify.py, tests/test_rect_ncc.py).
+
+Conventions match core/geometry.py: ``X_cam = R @ (X_world - C)``; plane
+``n . X_cam + w = 0``; pinhole depth == z.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from acmmp_spherical_tpu.core.camera import Camera, Cameras, camera_center
+from acmmp_spherical_tpu.core import geometry as G
+
+_HI = jax.lax.Precision.HIGHEST
+
+# rectified frames are padded by (PAD_Y, PAD_X) on each side so the kernel's
+# static row slices and 128-aligned dynamic x-origins never clamp
+PAD_Y = 8
+PAD_X = 128
+# sentinel stored outside the warped source's valid region; sampled taps
+# compare against SENTINEL_THRESH to reject (same semantics as the
+# reference's out-of-image patch taps)
+SENTINEL = -1.0e4
+SENTINEL_THRESH = -0.5
+
+
+def rect_shape(height: int, width: int) -> tuple[int, int]:
+    """Static rectified frame size for an (H, W) problem.
+
+    Sized so the *full-resolution* (f_rect == f_ref) warped reference fits
+    under any in-plane rotation -- the bounding box of a rotated rectangle is
+    at most diag x diag -- plus x-slack for the source footprint's disparity
+    offset, aligned to the (8, 128) kernel tile.  Keeping f_rect == f_ref
+    matters for quality: a shrunken rect grid evaluates the NCC patch on a
+    coarser image and costs ~2x depth accuracy at the bench operating point.
+    """
+    diag = int(math.ceil((height * height + width * width) ** 0.5))
+    hr = -(-(diag + 16) // 8) * 8
+    wr = -(-(diag + 160) // 128) * 128
+    return hr, wr
+
+
+class PairRect(NamedTuple):
+    """Per-(ref, src) rectification, batched over the source axis S."""
+
+    R_rr: jax.Array      # (S, 3, 3) ref-cam frame -> rectified frame rotation
+    K: jax.Array         # (S, 3) rectified f, cx, cy (shared by both frames)
+    baseline: jax.Array  # (S,) ||C_src - C_ref|| (rect x-axis points at src)
+    H0: jax.Array        # (S, 3, 3) original ref pixel -> rectified pixel
+    H0inv: jax.Array     # (S, 3, 3)
+    H1inv: jax.Array     # (S, 3, 3) rectified pixel -> original src pixel
+    scale: jax.Array     # (S,) resolution scale f_rect / f_ref (diagnostic)
+
+
+def _k_mat(f, cx, cy):
+    z = jnp.zeros_like(f)
+    o = jnp.ones_like(f)
+    return jnp.stack([
+        jnp.stack([f, z, cx], -1),
+        jnp.stack([z, f, cy], -1),
+        jnp.stack([z, z, o], -1),
+    ], -2)
+
+
+def build_pair_rect(ref_cam: Camera, src_cams: Cameras,
+                    rect_hw: tuple[int, int]) -> PairRect:
+    """Rectification rotations + intrinsics for every (ref, src) pair.
+
+    Fusiello-style: new x-axis along the baseline, y chosen orthogonal to the
+    reference optical axis, shared K fitted so the warped reference image fits
+    the static ``rect_hw`` frame at the finest scale <= the original.
+    """
+    hr, wr = rect_hw
+    margin = 2.0
+
+    def per_pair(src: Camera) -> PairRect:
+        C0 = camera_center(ref_cam)
+        C1 = camera_center(src)
+        b = C1 - C0
+        bnorm = jnp.linalg.norm(b)
+        e1 = b / jnp.maximum(bnorm, 1e-20)
+        z0 = ref_cam.R[2]                      # ref optical axis (world)
+        e2 = jnp.cross(z0, e1)
+        e2 = e2 / jnp.maximum(jnp.linalg.norm(e2), 1e-20)
+        e3 = jnp.cross(e1, e2)
+        R_rect = jnp.stack([e1, e2, e3])       # world -> rect frame
+        R_rr = R_rect @ ref_cam.R.T            # ref-cam -> rect frame
+
+        # fit K over the UNION of the ref and src footprints (both rotated
+        # into the rect frame), so the warped source content -- offset along
+        # -x by the pair's disparity geometry -- stays inside the frame too.
+        # f = f_ref whenever the frame fits (rect_shape sizes it so), falling
+        # back to a shrink only for adverse geometry (host_rectifiable gates).
+        def corner_rays(cam_, R_cr):
+            P = R_cr @ jnp.linalg.inv(cam_.K)   # pixel -> rect ray
+            Wc, Hc = cam_.width, cam_.height
+            cs = jnp.stack([
+                jnp.stack([jnp.zeros(()), jnp.zeros(()), jnp.ones(())]),
+                jnp.stack([Wc - 1.0, jnp.zeros(()), jnp.ones(())]),
+                jnp.stack([jnp.zeros(()), Hc - 1.0, jnp.ones(())]),
+                jnp.stack([Wc - 1.0, Hc - 1.0, jnp.ones(())]),
+            ])                                   # (4, 3)
+            q = cs @ P.T
+            qz = jnp.maximum(q[:, 2], 1e-6)
+            return q[:, 0] / qz, q[:, 1] / qz
+
+        P0 = R_rr @ jnp.linalg.inv(ref_cam.K)   # ref pixel -> rect ray
+        u0, v0 = corner_rays(ref_cam, R_rr)
+        u1, v1 = corner_rays(src, R_rect @ src.R.T)
+        u = jnp.concatenate([u0, u1])
+        v = jnp.concatenate([v0, v1])
+        f0 = ref_cam.K[0, 0]
+        f = jnp.minimum(
+            f0,
+            jnp.minimum((wr - 1.0 - 2 * margin) / (jnp.max(u) - jnp.min(u)),
+                        (hr - 1.0 - 2 * margin) / (jnp.max(v) - jnp.min(v))),
+        )
+        cx = margin - f * jnp.min(u)
+        cy = margin - f * jnp.min(v)
+        Km = _k_mat(f, cx, cy)
+
+        H0 = Km @ P0
+        H0inv = jnp.linalg.inv(H0)
+        H1 = Km @ (R_rect @ src.R.T) @ jnp.linalg.inv(src.K)
+        H1inv = jnp.linalg.inv(H1)
+        return PairRect(R_rr=R_rr, K=jnp.stack([f, cx, cy]), baseline=bnorm,
+                        H0=H0, H0inv=H0inv, H1inv=H1inv, scale=f / f0)
+
+    S = src_cams.t.shape[0]
+    return jax.vmap(
+        lambda i: per_pair(jax.tree.map(lambda a: a[i], src_cams))
+    )(jnp.arange(S))
+
+
+def disp_coeffs(pr_i: PairRect, normal: jax.Array, w: jax.Array):
+    """Affine disparity coefficients of a plane field for one pair.
+
+    ``disp(x, y) = a*(x - cx) + b*(y - cy) + c`` at rectified pixel (x, y),
+    where ``x_src = x - disp`` on the same row.  Derivation: plane
+    ``n.X + w = 0`` in the ref-cam frame becomes ``n_r.X_r + w = 0`` in the
+    rectified frame (n_r = R_rr n); the z-depth along the rectified ray
+    ``((x-cx)/f, (y-cy)/f, 1)`` is ``z = -w / (n_r . ray)`` and
+    ``disp = f * B / z``.
+
+    normal: (..., 3) ref-cam frame, w: (...,). Returns (a, b, c) each (...,).
+    """
+    n_r = jnp.einsum("ij,...j->...i", pr_i.R_rr, normal, precision=_HI)
+    f = pr_i.K[0]
+    s = -pr_i.baseline / w
+    return s * n_r[..., 0], s * n_r[..., 1], s * n_r[..., 2] * f
+
+
+def rect_coords(H, x, y):
+    """Apply a pixel homography; returns (xr, yr, z) with z the projective
+    denominator (z <= 0 means the point is behind the rotated frame)."""
+    z = H[..., 2, 0] * x + H[..., 2, 1] * y + H[..., 2, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    xr = (H[..., 0, 0] * x + H[..., 0, 1] * y + H[..., 0, 2]) / zs
+    yr = (H[..., 1, 0] * x + H[..., 1, 1] * y + H[..., 1, 2]) / zs
+    return xr, yr, z
+
+
+def warp_to_rect(
+    img: jax.Array,          # (Hp, Wp) padded original image
+    Hinv: jax.Array,         # (3, 3) rect pixel -> original pixel
+    width, height,           # logical original size (traced)
+    rect_hw: tuple[int, int],
+    *,
+    sentinel: bool,
+    packed: jax.Array | None = None,  # (Hp*Wp, 4) pack_bilinear table
+) -> jax.Array:
+    """Bilinear-warp an original image into the padded rectified frame
+    ``(PAD_Y + Hr + PAD_Y, PAD_X + Wr + PAD_X)``.
+
+    ``sentinel=True`` writes SENTINEL outside the original image's footprint
+    (source images: taps reject); ``sentinel=False`` edge-clamps (reference
+    image: border taps clamp, like the reference's tex2D).  Pass ``packed``
+    (from sampling.pack_bilinear) to sample at the packed-row gather rate."""
+    from acmmp_spherical_tpu.ops.sampling import (
+        sample_bilinear, sample_bilinear_packed,
+    )
+
+    hr, wr = rect_hw
+    ys = jax.lax.broadcasted_iota(jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 0) - PAD_Y
+    xs = jax.lax.broadcasted_iota(jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 1) - PAD_X
+    ox, oy, z = rect_coords(Hinv, xs, ys)
+    if packed is not None:
+        val, ok = sample_bilinear_packed(packed, img.shape[1], ox, oy,
+                                         width, height, wrap_x=False)
+    else:
+        val, ok = sample_bilinear(img, ox, oy, width, height, wrap_x=False)
+    if sentinel:
+        return jnp.where(ok & (z > 0), val, SENTINEL)
+    return val
+
+
+class RectContext(NamedTuple):
+    """Per-pass rectified working set for the fast rectified NCC path."""
+
+    pr: PairRect
+    rect_ref: jax.Array   # (S, Hr+2*PAD_Y, Wr+2*PAD_X) clamp-warped reference
+    rect_src: jax.Array   # (S, ..., ...) sentinel-warped sources
+    fwd_idx: jax.Array    # (S, Hr*Wr) int32: rect pixel -> nearest orig flat idx
+    fwd_valid: jax.Array  # (S, Hr, Wr) float32 0/1: rect pixel covered, z > 0
+    bwd_idx: jax.Array    # (S, H*W) int32: orig pixel -> nearest rect flat idx
+    bwd_valid: jax.Array  # (S, H, W) bool
+    srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi (window guard)
+
+
+def build_rect_context(
+    ref_image: jax.Array,    # (H, W)
+    src_images: jax.Array,   # (S, Hp, Wp)
+    ref_cam: Camera,
+    src_cams: Cameras,
+    depth_range,             # (dmin, dmax) traced scalars
+    src_packed: jax.Array | None = None,  # (S, Hp*Wp, 4)
+) -> RectContext:
+    """Build the per-pass rectified working set (all XLA; one per pass)."""
+    from acmmp_spherical_tpu.ops.sampling import grid_coords, pack_bilinear
+
+    H, W = ref_image.shape
+    hr, wr = rect_shape(H, W)
+    pr = build_pair_rect(ref_cam, src_cams, (hr, wr))
+
+    ref_packed = pack_bilinear(ref_image, ref_cam.width, ref_cam.height,
+                               wrap_x=False)
+    rect_ref = jax.vmap(
+        lambda H0inv: warp_to_rect(ref_image, H0inv, ref_cam.width,
+                                   ref_cam.height, (hr, wr), sentinel=False,
+                                   packed=ref_packed)
+    )(pr.H0inv)
+
+    if src_packed is None:
+        src_packed = jax.vmap(
+            lambda img, wd, ht: pack_bilinear(img, wd, ht, wrap_x=False)
+        )(src_images, src_cams.width, src_cams.height)
+    rect_src = jax.vmap(
+        lambda img, pk, H1inv, wd, ht: warp_to_rect(
+            img, H1inv, wd, ht, (hr, wr), sentinel=True, packed=pk)
+    )(src_images, src_packed, pr.H1inv, src_cams.width, src_cams.height)
+
+    # backward map: original pixel -> nearest rect pixel
+    xs_o, ys_o = grid_coords(H, W)
+
+    def bwd(H0):
+        xr, yr, z = rect_coords(H0, xs_o, ys_o)
+        xrn = jnp.round(xr)
+        yrn = jnp.round(yr)
+        ok = (z > 0) & (xrn >= 0) & (xrn < wr) & (yrn >= 0) & (yrn < hr)
+        idx = (jnp.clip(yrn, 0, hr - 1).astype(jnp.int32) * wr
+               + jnp.clip(xrn, 0, wr - 1).astype(jnp.int32))
+        return idx.reshape(-1), ok
+
+    bwd_idx, bwd_valid = jax.vmap(bwd)(pr.H0)
+
+    # forward map: rect pixel -> original pixel whose plane it evaluates.
+    # Base: nearest original pixel under the homography; overridden by the
+    # exact inverse of the backward map (scatter), so every rect pixel an
+    # original pixel reads its cost from evaluates THAT pixel's plane --
+    # exact plane attribution wherever a cost is consumed (collisions: last
+    # writer wins; rare at f_rect == f_ref).
+    xs_r, ys_r = grid_coords(hr, wr)
+    wi = ref_cam.width
+    hi = ref_cam.height
+    oflat = jnp.arange(H * W, dtype=jnp.int32)
+
+    def fwd(H0inv, bidx, bok):
+        ox, oy, z = rect_coords(H0inv, xs_r, ys_r)
+        oxn = jnp.round(ox)
+        oyn = jnp.round(oy)
+        ok = (z > 0) & (oxn >= 0) & (oxn < wi) & (oyn >= 0) & (oyn < hi)
+        idx = (jnp.clip(oyn, 0, H - 1).astype(jnp.int32) * W
+               + jnp.clip(oxn, 0, W - 1).astype(jnp.int32)).reshape(-1)
+        okf = ok.reshape(-1)
+        tgt = jnp.where(bok, bidx, hr * wr)  # hr*wr = discard slot
+        idx = jnp.concatenate([idx, jnp.zeros((1,), jnp.int32)])
+        idx = idx.at[tgt].set(oflat)[:-1]
+        okf = jnp.concatenate([okf, jnp.zeros((1,), bool)])
+        okf = okf.at[tgt].set(True)[:-1]
+        return idx, okf.astype(jnp.float32).reshape(hr, wr)
+
+    fwd_idx, fwd_valid = jax.vmap(fwd)(
+        pr.H0inv, bwd_idx, bwd_valid.reshape(bwd_valid.shape[0], -1))
+
+    dmin, dmax = depth_range[0], depth_range[1]
+    fB = pr.K[:, 0] * pr.baseline
+    srow = jnp.zeros((pr.K.shape[0], 128), jnp.float32)
+    srow = srow.at[:, 0].set(fB / (4.0 * jnp.maximum(dmax, 1e-6)))
+    srow = srow.at[:, 1].set(fB / jnp.maximum(0.25 * dmin, 1e-6))
+    return RectContext(pr=pr, rect_ref=rect_ref, rect_src=rect_src,
+                       fwd_idx=fwd_idx, fwd_valid=fwd_valid,
+                       bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow)
+
+
+def host_rectifiable(ref_cam: Camera, src_cams: Cameras,
+                     rect_hw: tuple[int, int],
+                     *, min_scale: float = 0.55) -> bool:
+    """Host-side pure-numpy gate: True when every pair of this problem
+    rectifies well enough for the static frame sizes of the rectified kernel.
+
+    Rejects: near-zero baselines, near-forward motion (baseline parallel to
+    the optical axis degenerates the rect basis), and epipoles in/near the
+    image (the rect frame blows up, so the fitted focal -- ``scale`` --
+    collapses).  In-plane rotation/shear of the warp is fine: the kernel
+    operates wholly in the rect frame, where rows are epipolar lines by
+    construction.  Mirrors ``build_pair_rect`` in numpy so the per-problem
+    gate never builds device programs.
+    """
+    hr, wr = rect_hw
+    margin = 2.0
+    R0 = np.asarray(ref_cam.R, np.float64)
+    t0 = np.asarray(ref_cam.t, np.float64)
+    K0 = np.asarray(ref_cam.K, np.float64)
+    C0 = -R0.T @ t0
+    Rs = np.asarray(src_cams.R, np.float64)
+    ts = np.asarray(src_cams.t, np.float64)
+    Ks = np.asarray(src_cams.K, np.float64)
+    whs = np.asarray(src_cams.wh, np.float64)
+    f0 = K0[0, 0]
+
+    def corner_uv(R_cr, K, W_, H_):
+        corners = np.array([[0.0, 0.0, 1.0], [W_ - 1.0, 0.0, 1.0],
+                            [0.0, H_ - 1.0, 1.0], [W_ - 1.0, H_ - 1.0, 1.0]])
+        q = corners @ (R_cr @ np.linalg.inv(K)).T
+        if np.any(q[:, 2] <= 1e-6):  # a corner behind the rotated frame
+            return None
+        return q[:, 0] / q[:, 2], q[:, 1] / q[:, 2]
+
+    for s in range(Rs.shape[0]):
+        C1 = -Rs[s].T @ ts[s]
+        b = C1 - C0
+        bn = np.linalg.norm(b)
+        if bn < 1e-9:
+            return False
+        e1 = b / bn
+        z0 = R0[2]
+        e2 = np.cross(z0, e1)
+        n2 = np.linalg.norm(e2)
+        if n2 < 1e-3:  # near-forward motion: rect basis degenerates
+            return False
+        e2 = e2 / n2
+        e3 = np.cross(e1, e2)
+        R_rect = np.stack([e1, e2, e3])
+        uv0 = corner_uv(R_rect @ R0.T, K0,
+                        float(np.asarray(ref_cam.width)),
+                        float(np.asarray(ref_cam.height)))
+        uv1 = corner_uv(R_rect @ Rs[s].T, Ks[s], whs[s, 0], whs[s, 1])
+        if uv0 is None or uv1 is None:
+            return False
+        u = np.concatenate([uv0[0], uv1[0]])
+        v = np.concatenate([uv0[1], uv1[1]])
+        du = max(u.max() - u.min(), 1e-12)
+        dv = max(v.max() - v.min(), 1e-12)
+        f = min(f0, (wr - 1.0 - 2 * margin) / du, (hr - 1.0 - 2 * margin) / dv)
+        if not np.isfinite(f) or f / f0 < min_scale:
+            return False
+    return True

@@ -120,6 +120,20 @@ def load_problem(
         and ref_cam.model == "pinhole"
     ):
         params = dataclasses.replace(params, fast_ncc=True)
+    if not geom and ref_cam.model == "pinhole" and (
+        cfg.rect_ncc == "on"
+        or (cfg.rect_ncc == "auto" and jax.default_backend() == "tpu")
+    ):
+        # photometric/hierarchy passes on rectifiable problems take the
+        # epipolar-rectified kernel; the per-problem host gate rejects
+        # forward-motion / degenerate pairs (ops/rectify.host_rectifiable)
+        from acmmp_spherical_tpu.ops.rectify import host_rectifiable, rect_shape
+
+        stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
+        if n_src and host_rectifiable(
+            ref_cam, stacked, rect_shape(ref_img.shape[0], ref_img.shape[1])
+        ):
+            params = dataclasses.replace(params, rect_ncc=True)
     if geom:
         params = params.with_geom(multi_geometry)
 

@@ -42,7 +42,7 @@ def run_patchmatch(
 
     Returns (depth (H, W), normal_world (H, W, 3), cost (H, W), state).
     """
-    inputs = prepare_inputs(inputs)
+    inputs = prepare_inputs(inputs, params)
     ctx = ref_tap_context(inputs.ref_image, inputs.ref_cam, params)
     k_init, k_iters = jax.random.split(key)
 

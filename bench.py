@@ -103,10 +103,20 @@ def main() -> None:
     import dataclasses
 
     dmin, dmax = np.asarray(cams[0].depth_range)
-    # fast windowed-NCC kernel on TPU (exact path elsewhere)
+    # fast windowed-NCC kernel on TPU (exact path elsewhere); photometric
+    # passes additionally take the epipolar-rectified kernel when the ring
+    # geometry rectifies (it does: parallel axes, lateral baselines)
     fast = jax.default_backend() == "tpu"
+    rect = False
+    if fast:
+        from acmmp_spherical_tpu.ops.rectify import host_rectifiable, rect_shape
+
+        rect = host_rectifiable(cams[0], stack_cameras(cams[1:]),
+                                rect_shape(H, W))
+    print(f"[bench] fast_ncc={fast} rect_ncc={rect}", file=sys.stderr)
     params = dataclasses.replace(
-        PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=fast
+        PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=fast,
+        rect_ncc=rect,
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(

@@ -1,0 +1,113 @@
+"""Rectified NCC kernel: interpret-mode sanity + agreement with the exact path.
+
+The rectified evaluation is an algorithmic reformulation (warped patch,
+rectified-grid evaluation points), so the gate is *behavioral*: ground-truth
+planes must score near-zero like the exact path, wrong planes must score
+high, and the two cost fields must rank hypotheses the same way nearly
+everywhere.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acmmp_spherical_tpu.config import PatchMatchParams
+from acmmp_spherical_tpu.core import geometry as G
+from acmmp_spherical_tpu.core.camera import PINHOLE, stack_cameras
+from acmmp_spherical_tpu.ops.ncc import ref_tap_context, multiview_ncc
+from acmmp_spherical_tpu.ops.rectify import build_rect_context, rect_shape
+from acmmp_spherical_tpu.ops.pallas.ncc_rect import rect_batched_ncc
+from acmmp_spherical_tpu.ops.sampling import grid_coords
+from acmmp_spherical_tpu.utils.synthetic import (
+    CubeRoom, make_ring_of_cameras, render_scene,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = CubeRoom()
+    W, H, n = 128, 48, 4
+    cams = make_ring_of_cameras(n, model=PINHOLE, width=W, height=H, focal=90.0)
+    images, depths, normals = render_scene(cams, scene, W, H)
+    images = jnp.asarray(images)
+    ref_cam = cams[0]
+    src_cams = stack_cameras(cams[1:])
+    params = PatchMatchParams()
+    xs, ys = grid_coords(H, W)
+    n_cam = G.normal_world_to_cam(ref_cam, jnp.asarray(normals[0]))
+    w = G.dist_to_origin(ref_cam, xs, ys, jnp.asarray(depths[0]), n_cam)
+    dmin, dmax = ref_cam.depth_range[0], ref_cam.depth_range[1]
+    rect = build_rect_context(images[0], images[1:], ref_cam, src_cams,
+                              (dmin, dmax))
+    return images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W)
+
+
+def test_rect_ncc_scores_gt_low_and_wrong_high(setup):
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    # batch: [gt plane, wrong-depth plane]
+    w_wrong = w * 1.35
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w_wrong])
+    cost = np.asarray(rect_batched_ncc(rect, normals, ws, params,
+                                       interpret=True))
+    assert cost.shape == (2, 3, H, W)
+    interior = np.s_[:, 8:-8, 8:-8]
+    good = cost[0][interior]
+    badf = cost[1][interior]
+    # valid evaluations of the GT plane are near-zero cost
+    valid = good < params.cost_max - 1e-3
+    assert valid.mean() > 0.8, valid.mean()
+    assert np.median(good[valid]) < 0.15, np.median(good[valid])
+    # the wrong plane scores clearly worse on average (the smooth sinusoid
+    # texture caps how bad a 35% depth error can look; 5x + floor is the gate)
+    assert np.mean(badf) > 5.0 * np.mean(good) and np.mean(badf) > 0.15
+
+
+def test_rect_full_pass_quality(setup):
+    """Full PatchMatch pass with the rectified kernel (interpret mode) matches
+    the exact path's quality on the golden scene."""
+    import dataclasses
+
+    from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
+    from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    dr = jnp.asarray(np.asarray(ref_cam.depth_range), jnp.float32)
+    inputs = PatchMatchInputs(
+        ref_image=images[0], src_images=images[1:], ref_cam=ref_cam,
+        src_cams=src_cams, src_valid=jnp.ones(3, bool), depth_range=dr,
+    )
+    rparams = dataclasses.replace(params, rect_ncc=True)
+    d, _, cost, _ = run_patchmatch(inputs, rparams, jax.random.key(0))
+    d = np.asarray(d)
+    gt = depths[0]
+    rel = np.abs(d - gt) / gt
+    assert np.median(rel[8:-8, 8:-8]) < 0.01, np.median(rel[8:-8, 8:-8])
+
+
+def test_rect_ncc_agrees_with_exact_ranking(setup):
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    ctx = ref_tap_context(images[0], ref_cam, params)
+    w2 = w * 1.2
+    exact0 = np.asarray(multiview_ncc(images[1:], src_cams, ref_cam, n_cam, w,
+                                      ctx, params))
+    exact1 = np.asarray(multiview_ncc(images[1:], src_cams, ref_cam, n_cam,
+                                      w2, ctx, params))
+    cost = np.asarray(rect_batched_ncc(
+        rect, jnp.stack([n_cam, n_cam]), jnp.stack([w, w2]), params,
+        interpret=True))
+    interior = np.s_[:, 10:-10, 10:-10]
+    r0, r1 = cost[0][interior], cost[1][interior]
+    e0, e1 = exact0[interior], exact1[interior]
+    ok = (r0 < params.cost_max - 1e-3) & (r1 < params.cost_max - 1e-3) \
+        & (e0 < params.cost_max - 1e-3) & (e1 < params.cost_max - 1e-3)
+    # where both paths evaluate, they agree on which hypothesis is better
+    # at pixels with a clear margin
+    margin = np.abs(e0 - e1) > 0.05
+    sel = ok & margin
+    assert sel.mean() > 0.3
+    agree = ((r0 < r1) == (e0 < e1))[sel]
+    assert agree.mean() > 0.9, agree.mean()
+    # absolute agreement on the GT plane is loose but bounded
+    assert np.median(np.abs(r0 - e0)[ok]) < 0.1
