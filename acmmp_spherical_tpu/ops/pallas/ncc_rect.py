@@ -11,17 +11,26 @@ construction).
 
 One invocation evaluates a whole *batch* of candidate plane fields (the 8+1
 propagation fields or the 5 refinement fields of a half-step) against every
-source view: grid (C, S, tiles).  Plane parameters are pre-gathered onto each
-pair's rectified grid by the XLA wrapper (one wide-row gather per half-step
-batch, amortised over all candidates) and turned into per-pixel affine
-disparity fields (D, A, B) with ``disp(x+dx, y+dy) = D + A dx + B dy``.
+source view.  The candidate axis lives INSIDE the grid step (grid (S, ty, tx),
+candidates unrolled in-kernel): the reference-side bilateral weights and sums
+depend only on the reference window, so they are computed once per tile and
+shared by all candidates -- the dominant per-tap work (exp, ref accumulation,
+window DMA) amortises over C.  Source windows are per-candidate (each
+candidate's disparity field places its own window) and double-buffered.
+
+The plane -> rect-grid transport is a *scatter* from the original grid (one
+row per original pixel, ~2.5x fewer rows than gathering per rect pixel; XLA
+gather/scatter cost is per row regardless of width, PERF.md).  Rect pixels no
+original pixel claims stay at D = -1e9 and reject; their cost is never read
+back.
 
 Reference equivalence notes (vs ComputeBilateralNCC, ACMMP.cu:398-516): the
 patch is taken on the rectified grid (projectively warped patch, bilateral
 sigmas in rectified pixels), source taps outside the warped source footprint
 are rejected via sentinel values (= out-of-image taps), and the cost field is
-evaluated at rectified pixel centres then nearest-mapped back (<= 0.7 px).
-These deviations are quality-gated on the synthetic goldens.
+evaluated at the rectified pixel each original pixel maps to (exact plane
+attribution by construction of the scatter).  These deviations are
+quality-gated on the synthetic goldens (tests/test_rect_ncc.py).
 """
 
 from __future__ import annotations
@@ -42,25 +51,31 @@ TILE_H = 8
 TILE_W = 128
 WIN_H = 24        # static rows: tile 8 + dy span 10 + bilinear slack
 REF_WIN_W = 384   # 128-aligned static cols covering dx span
-SRC_WIN_W = 384   # disparity-dependent dynamic 128-aligned x origin
+# src window: 128-aligned dynamic x origin, placed from the tile's min
+# *clipped* disparity (srow carries the exact plausible range, so a wild
+# plane parameter can never pin the window outside it); ~246 px of
+# disparity span after alignment waste
+SRC_WIN_W = 384
 
 
 def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
-                 out_ref, refwin, srcwin, sem_r, sem_s,
-                 *, params: PatchMatchParams):
-    i = pl.program_id(2)
-    j = pl.program_id(3)
-    s = pl.program_id(1)
+                 out_ref, refwin, srcwin, wgt_ref, wr_ref, wrr_ref, sem_r,
+                 sem_s,
+                 *, params: PatchMatchParams, n_cand: int):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    s = pl.program_id(0)
     cost_max = params.cost_max
+    C = n_cand
 
-    out_ref[0, 0] = jnp.full((TILE_H, TILE_W), cost_max, jnp.float32)
+    out_ref[:, 0] = jnp.full((C, TILE_H, TILE_W), cost_max, jnp.float32)
 
     valid = v_ref[0] > 0.5
     tile_live = jnp.max(v_ref[0]) > 0.5
 
     @pl.when(tile_live)
     def _():
-        # ---- windows -----------------------------------------------------
+        # ---- shared reference window --------------------------------------
         y0 = pl.multiple_of(8 * i, TILE_H)          # padded row of (8i - 8)
         xr0 = pl.multiple_of(128 * j, TILE_W)       # padded col of (128j - 128)
         cp_r = pltpu.make_async_copy(
@@ -68,44 +83,64 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
             refwin, sem_r)
         cp_r.start()
 
-        D = d_ref[0, 0]
-        A = a_ref[0, 0]
-        B = b_ref[0, 0]
-        # robust window placement: clamp disparities into the plausible range
-        # before the tile min so one wild pixel cannot pin the window away
-        # (its own taps are coverage-checked individually)
         dlo = srow_ref[0, 0, 0]
         dhi = srow_ref[0, 0, 1]
-        dclip = jnp.clip(D, dlo, dhi)
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
         # unpadded rect x of this tile's lanes
         xg = 128.0 * j.astype(jnp.float32) + lane
-        xmin = jnp.min(xg - dclip) - 6.0
-        cmin = jnp.floor(xmin / TILE_W).astype(jnp.int32) * TILE_W
         wr_pad = src_ref.shape[2]
-        cmin = jnp.clip(cmin, -PAD_X, wr_pad - PAD_X - SRC_WIN_W)
-        xs0 = pl.multiple_of(cmin + PAD_X, TILE_W)
-        cp_s = pltpu.make_async_copy(
-            src_ref.at[s, pl.ds(y0, WIN_H), pl.ds(xs0, SRC_WIN_W)],
-            srcwin, sem_s)
-        cp_s.start()
-        cminf = cmin.astype(jnp.float32)
 
-        cp_r.wait()
-        center = refwin[8:16, 128:256]
-        cp_s.wait()
+        def window_origin(D):
+            # robust placement: clamp disparities into the plausible range
+            # before the tile min so one wild pixel cannot pin the window away
+            # (its own taps are coverage-checked individually)
+            dclip = jnp.clip(D, dlo, dhi)
+            xmin = jnp.min(xg - dclip) - 6.0
+            cmin = jnp.floor(xmin / TILE_W).astype(jnp.int32) * TILE_W
+            return jnp.clip(cmin, -PAD_X, wr_pad - PAD_X - SRC_WIN_W)
+
+        # ---- per-candidate source windows, double-buffered -----------------
+        def src_copy(c, cmin, slot):
+            xs0 = pl.multiple_of(cmin + PAD_X, TILE_W)
+            return pltpu.make_async_copy(
+                src_ref.at[s, pl.ds(y0, WIN_H), pl.ds(xs0, SRC_WIN_W)],
+                srcwin.at[slot], sem_s.at[slot])
+
+        cmins = [window_origin(d_ref[c, 0]) for c in range(C)]
+        src_copy(0, cmins[0], 0).start()
 
         inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
         inv_2sc = 1.0 / (2.0 * params.sigma_color * params.sigma_color)
         n_chunks = SRC_WIN_W // TILE_W
+        r = params.patch_size // 2
+        offs = list(range(-r, r + 1, params.radius_increment))
+        n_taps = len(offs) * len(offs)
+        zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
-        def src_sample(xsrc):
-            """Bilinear-in-x sample of an 8-row static slice (rows resolved by
-            the caller); returns (value, ok)."""
-            rows, xfrac, rel = xsrc
-            g0 = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            g1 = g0
+        # ---- reference-side pass: bilateral weights + ref products (once) --
+        # Per-tap products are stashed so the candidate loop can rebuild the
+        # reference moments gated by ITS OWN source-coverage mask (NCC must
+        # use the same tap subset on both sides); only the exp and the
+        # products are hoisted, the gated sums are cheap FMAs.
+        cp_r.wait()
+        center = refwin[8:16, 128:256]
+        t = 0
+        for dy in offs:
+            for dx in offs:
+                ref_pix = refwin[8 + dy:16 + dy, 128 + dx:256 + dx]
+                sdist = float((dx * dx + dy * dy) ** 0.5)
+                cdist = jnp.abs(ref_pix - center)
+                wgt = jnp.exp(-sdist * inv_2ss - cdist * inv_2sc)
+                wgt_ref[t] = wgt
+                wr_ref[t] = wgt * ref_pix
+                wrr_ref[t] = wgt * ref_pix * ref_pix
+                t += 1
+
+        def src_sample(rows, xfrac, rel):
+            """Bilinear-in-x sample of an 8-row static slice; (value, ok)."""
+            g0 = zeros
+            g1 = zeros
             for cidx in range(n_chunks):
                 i0 = jnp.clip(rel - cidx * TILE_W, 0, TILE_W - 1)
                 i1 = jnp.clip(rel + 1 - cidx * TILE_W, 0, TILE_W - 1)
@@ -122,54 +157,58 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
                   & (g0 > SENTINEL_THRESH) & (g1 > SENTINEL_THRESH))
             return g0 + (g1 - g0) * xfrac, ok
 
-        def tap_coords(dx, dy):
-            xsrc = xg + dx - (D + A * dx + B * dy)
-            xf = jnp.floor(xsrc)
-            rel = xf.astype(jnp.int32) - cmin
-            return rel, xsrc - xf
+        # ---- candidate loop ------------------------------------------------
+        for c in range(C):
+            slot = c % 2
+            src_copy(c, cmins[c], slot).wait()
+            if c + 1 < C:
+                src_copy(c + 1, cmins[c + 1], 1 - slot).start()
 
-        # centre validation (reference ACMMP.cu:418-433): the source centre
-        # sample must exist and sit in front of both cameras (disp > 0)
-        rel_c, frac_c = tap_coords(0.0, 0.0)
-        _, ok_c = src_sample((srcwin[8:16, :], frac_c, rel_c))
-        center_ok = ok_c & (D > 0.0) & valid
+            D = d_ref[c, 0]
+            A = a_ref[c, 0]
+            B = b_ref[c, 0]
 
-        r = params.patch_size // 2
-        offs = list(range(-r, r + 1, params.radius_increment))
+            def tap_coords(dx, dy):
+                xsrc = xg + dx - (D + A * dx + B * dy)
+                xf = jnp.floor(xsrc)
+                rel = xf.astype(jnp.int32) - cmins[c]
+                return rel, xsrc - xf
 
-        zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        s_bw = s_r = s_rr = s_s = s_ss = s_rs = zeros
-        for dy in offs:
-            src_rows = srcwin[8 + dy:16 + dy, :]
-            for dx in offs:
-                ref_pix = refwin[8 + dy:16 + dy, 128 + dx:256 + dx]
-                sdist = float((dx * dx + dy * dy) ** 0.5)
-                rel, xfrac = tap_coords(float(dx), float(dy))
-                val, ok = src_sample((src_rows, xfrac, rel))
-                cdist = jnp.abs(ref_pix - center)
-                wgt = jnp.where(
-                    ok,
-                    jnp.exp(-sdist * inv_2ss - cdist * inv_2sc),
-                    0.0,
-                )
-                s_bw = s_bw + wgt
-                s_r = s_r + wgt * ref_pix
-                s_rr = s_rr + wgt * ref_pix * ref_pix
-                s_s = s_s + wgt * val
-                s_ss = s_ss + wgt * val * val
-                s_rs = s_rs + wgt * ref_pix * val
+            # centre validation (reference ACMMP.cu:418-433): the source
+            # centre sample must exist and sit in front of both cameras
+            rel_c, frac_c = tap_coords(0.0, 0.0)
+            _, ok_c = src_sample(srcwin[slot, 8:16, :], frac_c, rel_c)
+            center_ok = ok_c & (D > 0.0) & valid
 
-        inv_bw = 1.0 / jnp.maximum(s_bw, 1e-12)
-        m_ref = s_r * inv_bw
-        m_src = s_s * inv_bw
-        var_ref = s_rr * inv_bw - m_ref * m_ref
-        var_src = s_ss * inv_bw - m_src * m_src
-        covar = s_rs * inv_bw - m_ref * m_src
-        ncc = 1.0 - covar * jax.lax.rsqrt(jnp.maximum(var_ref * var_src, 1e-30))
-        cost = jnp.clip(ncc, 0.0, cost_max)
-        bad = ((s_bw < 1e-6) | (var_ref < 1e-5) | (var_src < 1e-5)
-               | ~center_ok)
-        out_ref[0, 0] = jnp.where(bad, cost_max, cost)
+            s_bw = s_r = s_rr = s_s = s_ss = s_rs = zeros
+            t = 0
+            for dy in offs:
+                src_rows = srcwin[slot, 8 + dy:16 + dy, :]
+                for dx in offs:
+                    rel, xfrac = tap_coords(float(dx), float(dy))
+                    val, ok = src_sample(src_rows, xfrac, rel)
+                    okf = ok.astype(jnp.float32)
+                    w_t = okf * wgt_ref[t]
+                    s_bw = s_bw + w_t
+                    s_r = s_r + okf * wr_ref[t]
+                    s_rr = s_rr + okf * wrr_ref[t]
+                    s_s = s_s + w_t * val
+                    s_ss = s_ss + w_t * val * val
+                    s_rs = s_rs + okf * wr_ref[t] * val
+                    t += 1
+
+            inv_bw = 1.0 / jnp.maximum(s_bw, 1e-12)
+            m_ref = s_r * inv_bw
+            m_src = s_s * inv_bw
+            var_ref = s_rr * inv_bw - m_ref * m_ref
+            var_src = s_ss * inv_bw - m_src * m_src
+            covar = s_rs * inv_bw - m_ref * m_src
+            ncc = 1.0 - covar * jax.lax.rsqrt(
+                jnp.maximum(var_ref * var_src, 1e-30))
+            cost = jnp.clip(ncc, 0.0, cost_max)
+            bad = ((s_bw < 1e-6) | (var_ref < 1e-5) | (var_src < 1e-5)
+                   | ~center_ok)
+            out_ref[c, 0] = jnp.where(bad, cost_max, cost)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
@@ -183,68 +222,80 @@ def rect_batched_ncc(
 ) -> jax.Array:
     """Evaluate C candidate plane fields against S sources -> (C, S, H, W).
 
-    XLA pre-step: one wide-row gather per pair moves all C candidates' plane
-    parameters onto the rectified grid (gather cost is per row regardless of
-    width, PERF.md), then the affine disparity fields are pure VPU math.
-    XLA post-step: one wide-row gather per pair maps all C cost planes back to
-    the original grid.
+    XLA pre-step: affine disparity coefficients (D, A, B) are computed on the
+    ORIGINAL grid (pure VPU math) and scattered onto each pair's rectified
+    grid -- one wide row per original pixel, exact plane attribution at the
+    rect pixel each original pixel reads back from.  XLA post-step: one
+    wide-row gather per pair maps all C cost planes back.
     """
     C, H, W = ws.shape
-    S = rect.fwd_idx.shape[0]
+    S = rect.bwd_idx.shape[0]
     Hr, Wr = rect.fwd_valid.shape[1:]
     cost_max = params.cost_max
 
-    # ---- gather plane params onto each pair's rectified grid --------------
-    table = jnp.concatenate(
-        [normals.reshape(C, H * W, 3), ws.reshape(C, H * W, 1)], axis=-1
-    )                                             # (C, HW, 4)
-    table = table.transpose(1, 0, 2).reshape(H * W, 4 * C)
-    gathered = jax.vmap(lambda idx: table[idx])(rect.fwd_idx)  # (S, HrWr, 4C)
-    gathered = gathered.reshape(S, Hr * Wr, C, 4).transpose(2, 0, 1, 3)
-
-    # ---- affine disparity fields (D, A, B) per (candidate, pair) ----------
-    n_r = jnp.einsum("sij,cspj->cspi", rect.pr.R_rr, gathered[..., :3],
-                     precision=jax.lax.Precision.HIGHEST)
-    wply = gathered[..., 3]
-    f = rect.pr.K[:, 0][None, :, None]
-    cx = rect.pr.K[:, 1][None, :, None]
-    cy = rect.pr.K[:, 2][None, :, None]
-    scale = -rect.pr.baseline[None, :, None] / jnp.where(
+    # ---- affine disparity coefficients on the original grid ---------------
+    n_r = jnp.einsum("sij,chwj->cshwi", rect.pr.R_rr, normals,
+                     precision=jax.lax.Precision.HIGHEST)  # (C,S,H,W,3)
+    f = rect.pr.K[:, 0][None, :, None, None]
+    cx = rect.pr.K[:, 1][None, :, None, None]
+    cy = rect.pr.K[:, 2][None, :, None, None]
+    wply = ws[:, None]
+    scale = -rect.pr.baseline[None, :, None, None] / jnp.where(
         jnp.abs(wply) < 1e-20, 1e-20, wply)
     A = scale * n_r[..., 0]
     B = scale * n_r[..., 1]
     cterm = scale * n_r[..., 2] * f
-    ys_r = jax.lax.broadcasted_iota(jnp.float32, (Hr, Wr), 0).reshape(-1)
-    xs_r = jax.lax.broadcasted_iota(jnp.float32, (Hr, Wr), 1).reshape(-1)
-    D = A * (xs_r - cx) + B * (ys_r - cy) + cterm
+    # rect coordinates of each original pixel (integer eval points)
+    xr = (rect.bwd_idx % Wr).astype(jnp.float32).reshape(S, H, W)[None]
+    yr = (rect.bwd_idx // Wr).astype(jnp.float32).reshape(S, H, W)[None]
+    D = A * (xr - cx) + B * (yr - cy) + cterm
     finite = jnp.isfinite(D) & (jnp.abs(D) < 1e8)
     D = jnp.where(finite, D, -1e9)                # coverage-rejected
-    D = D.reshape(C, S, Hr, Wr)
-    A = A.reshape(C, S, Hr, Wr)
-    B = B.reshape(C, S, Hr, Wr)
 
-    kernel = functools.partial(_rect_kernel, params=params)
+    # ---- scatter (D, A, B) onto the rectified grids -----------------------
+    rows = jnp.stack([D, A, B], axis=-1)          # (C, S, H, W, 3)
+    rows = rows.transpose(1, 2, 3, 0, 4).reshape(S, H * W, C * 3)
+    # unclaimed rect pixels keep D = -1e9 -> rejected in-kernel, never read
+    init = jnp.full((Hr * Wr + 1, C * 3), -1e9, jnp.float32)
+    bok = rect.bwd_valid.reshape(S, -1)
+
+    def scatter(rows_s, bidx, bok_s):
+        tgt = jnp.where(bok_s, bidx, Hr * Wr)
+        return init.at[tgt].set(rows_s)[:-1]
+
+    dab = jax.vmap(scatter)(rows, rect.bwd_idx, bok)  # (S, HrWr, 3C)
+    dab = dab.reshape(S, Hr, Wr, C, 3)
+    D = dab[..., 0].transpose(3, 0, 1, 2)
+    A = dab[..., 1].transpose(3, 0, 1, 2)
+    B = dab[..., 2].transpose(3, 0, 1, 2)
+
+    r = params.patch_size // 2
+    n_taps = len(range(-r, r + 1, params.radius_increment)) ** 2
+    kernel = functools.partial(_rect_kernel, params=params, n_cand=C)
     ty, tx = Hr // TILE_H, Wr // TILE_W
-    tile = lambda: pl.BlockSpec((1, 1, TILE_H, TILE_W),
-                                lambda c, s, i, j: (c, s, i, j))
+    cdab = lambda: pl.BlockSpec((C, 1, TILE_H, TILE_W),
+                                lambda s, i, j: (0, s, i, j))
     cost_rect = pl.pallas_call(
         kernel,
-        grid=(C, S, ty, tx),
+        grid=(S, ty, tx),
         in_specs=[
-            pl.BlockSpec((1, 1, 128), lambda c, s, i, j: (s, 0, 0)),   # srow
+            pl.BlockSpec((1, 1, 128), lambda s, i, j: (s, 0, 0)),      # srow
             pl.BlockSpec(memory_space=pltpu.ANY),                      # ref
             pl.BlockSpec(memory_space=pltpu.ANY),                      # src
-            tile(), tile(), tile(),                                    # D A B
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda c, s, i, j: (s, i, j)),
+            cdab(), cdab(), cdab(),                                    # D A B
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j)),
         ],
-        out_specs=pl.BlockSpec((1, 1, TILE_H, TILE_W),
-                               lambda c, s, i, j: (c, s, i, j)),
+        out_specs=pl.BlockSpec((C, 1, TILE_H, TILE_W),
+                               lambda s, i, j: (0, s, i, j)),
         out_shape=jax.ShapeDtypeStruct((C, S, Hr, Wr), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((WIN_H, REF_WIN_W), jnp.float32),
-            pltpu.VMEM((WIN_H, SRC_WIN_W), jnp.float32),
+            pltpu.VMEM((2, WIN_H, SRC_WIN_W), jnp.float32),
+            pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt / tap
+            pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt*ref / tap
+            pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt*ref^2
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(rect.srow[:, None, :], rect.rect_ref, rect.rect_src, D, A, B,

@@ -87,6 +87,34 @@ def _k_mat(f, cx, cy):
     ], -2)
 
 
+def _k_inv(K):
+    """Analytic inverse of a calibration matrix [[fx,0,cx],[0,fy,cy],[0,0,1]].
+
+    ``jnp.linalg.inv`` (f32 LU) and plain ``@`` (DEFAULT = bf16 passes on
+    TPU) are both too coarse here: a 3x3 pixel homography built from bf16
+    matmul products carries ~1 px of warp-coordinate error at 1500-px frames
+    (measured), which decorrelates the rectified pair and flattens the NCC
+    cost valley ~7x.  Everything in this module therefore uses analytic
+    inverses and HIGHEST-precision matmuls.
+    """
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    z = jnp.zeros_like(fx)
+    o = jnp.ones_like(fx)
+    return jnp.stack([
+        jnp.stack([1.0 / fx, z, -cx / fx], -1),
+        jnp.stack([z, 1.0 / fy, -cy / fy], -1),
+        jnp.stack([z, z, o], -1),
+    ], -2)
+
+
+def _mm(*ms):
+    """Chained 3x3 matmul at HIGHEST precision (see _k_inv)."""
+    out = ms[0]
+    for m in ms[1:]:
+        out = jnp.matmul(out, m, precision=_HI)
+    return out
+
+
 def build_pair_rect(ref_cam: Camera, src_cams: Cameras,
                     rect_hw: tuple[int, int]) -> PairRect:
     """Rectification rotations + intrinsics for every (ref, src) pair.
@@ -109,7 +137,7 @@ def build_pair_rect(ref_cam: Camera, src_cams: Cameras,
         e2 = e2 / jnp.maximum(jnp.linalg.norm(e2), 1e-20)
         e3 = jnp.cross(e1, e2)
         R_rect = jnp.stack([e1, e2, e3])       # world -> rect frame
-        R_rr = R_rect @ ref_cam.R.T            # ref-cam -> rect frame
+        R_rr = _mm(R_rect, ref_cam.R.T)        # ref-cam -> rect frame
 
         # fit K over the UNION of the ref and src footprints (both rotated
         # into the rect frame), so the warped source content -- offset along
@@ -117,7 +145,7 @@ def build_pair_rect(ref_cam: Camera, src_cams: Cameras,
         # f = f_ref whenever the frame fits (rect_shape sizes it so), falling
         # back to a shrink only for adverse geometry (host_rectifiable gates).
         def corner_rays(cam_, R_cr):
-            P = R_cr @ jnp.linalg.inv(cam_.K)   # pixel -> rect ray
+            P = _mm(R_cr, _k_inv(cam_.K))       # pixel -> rect ray
             Wc, Hc = cam_.width, cam_.height
             cs = jnp.stack([
                 jnp.stack([jnp.zeros(()), jnp.zeros(()), jnp.ones(())]),
@@ -125,13 +153,14 @@ def build_pair_rect(ref_cam: Camera, src_cams: Cameras,
                 jnp.stack([jnp.zeros(()), Hc - 1.0, jnp.ones(())]),
                 jnp.stack([Wc - 1.0, Hc - 1.0, jnp.ones(())]),
             ])                                   # (4, 3)
-            q = cs @ P.T
+            q = jnp.matmul(cs, P.T, precision=_HI)
             qz = jnp.maximum(q[:, 2], 1e-6)
             return q[:, 0] / qz, q[:, 1] / qz
 
-        P0 = R_rr @ jnp.linalg.inv(ref_cam.K)   # ref pixel -> rect ray
+        R_sr = _mm(R_rect, src.R.T)             # src-cam -> rect frame
+        P0 = _mm(R_rr, _k_inv(ref_cam.K))       # ref pixel -> rect ray
         u0, v0 = corner_rays(ref_cam, R_rr)
-        u1, v1 = corner_rays(src, R_rect @ src.R.T)
+        u1, v1 = corner_rays(src, R_sr)
         u = jnp.concatenate([u0, u1])
         v = jnp.concatenate([v0, v1])
         f0 = ref_cam.K[0, 0]
@@ -143,11 +172,12 @@ def build_pair_rect(ref_cam: Camera, src_cams: Cameras,
         cx = margin - f * jnp.min(u)
         cy = margin - f * jnp.min(v)
         Km = _k_mat(f, cx, cy)
+        Kminv = _k_inv(Km)
 
-        H0 = Km @ P0
-        H0inv = jnp.linalg.inv(H0)
-        H1 = Km @ (R_rect @ src.R.T) @ jnp.linalg.inv(src.K)
-        H1inv = jnp.linalg.inv(H1)
+        # analytic inverses: (Km R K^-1)^-1 = K R^T Km^-1 (see _k_inv)
+        H0 = _mm(Km, P0)
+        H0inv = _mm(ref_cam.K, R_rr.T, Kminv)
+        H1inv = _mm(src.K, R_sr.T, Kminv)
         return PairRect(R_rr=R_rr, K=jnp.stack([f, cx, cy]), baseline=bnorm,
                         H0=H0, H0inv=H0inv, H1inv=H1inv, scale=f / f0)
 
@@ -200,9 +230,14 @@ def warp_to_rect(
     ``sentinel=True`` writes SENTINEL outside the original image's footprint
     (source images: taps reject); ``sentinel=False`` edge-clamps (reference
     image: border taps clamp, like the reference's tex2D).  Pass ``packed``
-    (from sampling.pack_bilinear) to sample at the packed-row gather rate."""
+    (from sampling.pack_bilinear) to sample at the packed-row gather rate.
+
+    Interpolation is Catmull-Rom bicubic (bilinear fallback at the border
+    and when no packed table is given): a bilinear warp low-passes the
+    frames enough to flatten the NCC cost valley, costing ~2x sub-pixel
+    depth accuracy (measured; see ops/sampling.sample_bicubic_packed)."""
     from acmmp_spherical_tpu.ops.sampling import (
-        sample_bilinear, sample_bilinear_packed,
+        sample_bicubic_packed, sample_bilinear,
     )
 
     hr, wr = rect_hw
@@ -210,8 +245,8 @@ def warp_to_rect(
     xs = jax.lax.broadcasted_iota(jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 1) - PAD_X
     ox, oy, z = rect_coords(Hinv, xs, ys)
     if packed is not None:
-        val, ok = sample_bilinear_packed(packed, img.shape[1], ox, oy,
-                                         width, height, wrap_x=False)
+        val, ok = sample_bicubic_packed(packed, img.shape[1], ox, oy,
+                                        width, height)
     else:
         val, ok = sample_bilinear(img, ox, oy, width, height, wrap_x=False)
     if sentinel:
@@ -225,8 +260,8 @@ class RectContext(NamedTuple):
     pr: PairRect
     rect_ref: jax.Array   # (S, Hr+2*PAD_Y, Wr+2*PAD_X) clamp-warped reference
     rect_src: jax.Array   # (S, ..., ...) sentinel-warped sources
-    fwd_idx: jax.Array    # (S, Hr*Wr) int32: rect pixel -> nearest orig flat idx
-    fwd_valid: jax.Array  # (S, Hr, Wr) float32 0/1: rect pixel covered, z > 0
+    fwd_valid: jax.Array  # (S, Hr, Wr) float32 0/1: rect pixel is read back by
+                          # some original pixel (the bwd scatter mask)
     bwd_idx: jax.Array    # (S, H*W) int32: orig pixel -> nearest rect flat idx
     bwd_valid: jax.Array  # (S, H, W) bool
     srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi (window guard)
@@ -278,42 +313,29 @@ def build_rect_context(
 
     bwd_idx, bwd_valid = jax.vmap(bwd)(pr.H0)
 
-    # forward map: rect pixel -> original pixel whose plane it evaluates.
-    # Base: nearest original pixel under the homography; overridden by the
-    # exact inverse of the backward map (scatter), so every rect pixel an
-    # original pixel reads its cost from evaluates THAT pixel's plane --
-    # exact plane attribution wherever a cost is consumed (collisions: last
-    # writer wins; rare at f_rect == f_ref).
-    xs_r, ys_r = grid_coords(hr, wr)
-    wi = ref_cam.width
-    hi = ref_cam.height
-    oflat = jnp.arange(H * W, dtype=jnp.int32)
-
-    def fwd(H0inv, bidx, bok):
-        ox, oy, z = rect_coords(H0inv, xs_r, ys_r)
-        oxn = jnp.round(ox)
-        oyn = jnp.round(oy)
-        ok = (z > 0) & (oxn >= 0) & (oxn < wi) & (oyn >= 0) & (oyn < hi)
-        idx = (jnp.clip(oyn, 0, H - 1).astype(jnp.int32) * W
-               + jnp.clip(oxn, 0, W - 1).astype(jnp.int32)).reshape(-1)
-        okf = ok.reshape(-1)
+    # liveness mask: rect pixels some original pixel reads its cost back from
+    # (the scatter targets of the backward map).  Plane parameters are
+    # scattered to exactly these pixels by the kernel wrapper, so liveness and
+    # plane attribution coincide by construction.
+    def fwd_mask(bidx, bok):
         tgt = jnp.where(bok, bidx, hr * wr)  # hr*wr = discard slot
-        idx = jnp.concatenate([idx, jnp.zeros((1,), jnp.int32)])
-        idx = idx.at[tgt].set(oflat)[:-1]
-        okf = jnp.concatenate([okf, jnp.zeros((1,), bool)])
-        okf = okf.at[tgt].set(True)[:-1]
-        return idx, okf.astype(jnp.float32).reshape(hr, wr)
+        m = jnp.zeros((hr * wr + 1,), jnp.float32).at[tgt].set(1.0)[:-1]
+        return m.reshape(hr, wr)
 
-    fwd_idx, fwd_valid = jax.vmap(fwd)(
-        pr.H0inv, bwd_idx, bwd_valid.reshape(bwd_valid.shape[0], -1))
+    fwd_valid = jax.vmap(fwd_mask)(bwd_idx,
+                                   bwd_valid.reshape(bwd_valid.shape[0], -1))
 
     dmin, dmax = depth_range[0], depth_range[1]
     fB = pr.K[:, 0] * pr.baseline
     srow = jnp.zeros((pr.K.shape[0], 128), jnp.float32)
-    srow = srow.at[:, 0].set(fB / (4.0 * jnp.maximum(dmax, 1e-6)))
-    srow = srow.at[:, 1].set(fB / jnp.maximum(0.25 * dmin, 1e-6))
+    # exact plausible disparity range (no padding): the kernel clips window
+    # anchors into it, so a wild plane parameter can never pin a tile's
+    # window outside the range where real hypotheses live, and a 512-wide
+    # window covers the whole range whenever fB*(1/dmin - 1/dmax) fits
+    srow = srow.at[:, 0].set(fB / jnp.maximum(dmax, 1e-6) - 2.0)
+    srow = srow.at[:, 1].set(fB / jnp.maximum(dmin, 1e-6) + 2.0)
     return RectContext(pr=pr, rect_ref=rect_ref, rect_src=rect_src,
-                       fwd_idx=fwd_idx, fwd_valid=fwd_valid,
+                       fwd_valid=fwd_valid,
                        bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow)
 
 

@@ -166,6 +166,68 @@ def sample_bilinear_packed(
     return top + (bot - top) * fy, valid
 
 
+def _catmull_rom_weights(t):
+    t2 = t * t
+    t3 = t2 * t
+    return (-0.5 * t3 + t2 - 0.5 * t,
+            1.5 * t3 - 2.5 * t2 + 1.0,
+            -1.5 * t3 + 2.0 * t2 + 0.5 * t,
+            0.5 * t3 - 0.5 * t2)
+
+
+def sample_bicubic_packed(
+    packed: jax.Array,   # (Hp*Wp, 4) from pack_bilinear
+    padded_width: int,   # Wp (static)
+    x: jax.Array,
+    y: jax.Array,
+    width: jax.Array,
+    height: jax.Array,
+):
+    """Catmull-Rom bicubic sample using the packed corner table.
+
+    The 4x4 support block is fetched as FOUR packed rows (each carries a 2x2
+    sub-block), keeping the per-row gather economics of
+    :func:`sample_bilinear_packed`.  Within one pixel of the logical border
+    the sample falls back to the bilinear value (same validity semantics).
+    Used by the rectification warps (ops/rectify.py): a bilinear warp blurs
+    the frames enough to flatten the NCC cost valley and cost ~2x sub-pixel
+    depth accuracy at the bench operating point.
+    """
+    lin, valid = sample_bilinear_packed(packed, padded_width, x, y,
+                                        width, height, wrap_x=False)
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
+    hi = height.astype(jnp.int32) if hasattr(height, "astype") else jnp.int32(height)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    interior = (x0 >= 1) & (x0 <= wi - 3) & (y0 >= 1) & (y0 <= hi - 3)
+    x0c = jnp.clip(x0, 1, jnp.maximum(wi - 3, 1))
+    y0c = jnp.clip(y0, 1, jnp.maximum(hi - 3, 1))
+
+    blocks = {}
+    for a in (0, 1):
+        for b in (0, 1):
+            idx = (y0c - 1 + 2 * a) * padded_width + (x0c - 1 + 2 * b)
+            blocks[(a, b)] = packed[idx]            # (..., 4) 2x2 sub-block
+
+    wx = _catmull_rom_weights(fx)
+    wy = _catmull_rom_weights(fy)
+    val = jnp.zeros_like(lin)
+    for r in range(4):
+        a, i = divmod(r, 2)
+        rowv = jnp.zeros_like(lin)
+        for c in range(4):
+            b, j = divmod(c, 2)
+            rowv = rowv + wx[c] * blocks[(a, b)][..., 2 * i + j]
+        val = val + wy[r] * rowv
+    return jnp.where(interior, val, lin), valid
+
+
 def sample_nearest_trunc(
     img: jax.Array,
     x: jax.Array,
