@@ -170,6 +170,12 @@ class PipelineConfig:
     max_src_views: int = 20          # pad/truncate source views per problem
                                      # (converter default top_k, colmap2mvsnet_acm.py:424)
     skip_if_complete: bool = False   # resume support: skip passes whose outputs exist
+    batch_problems: str = "auto"     # device-batched pass execution over the
+                                     # local view mesh (pipeline/batch_runner):
+                                     # "auto" = on when >1 local device,
+                                     # "on", "off".  Replaces the reference's
+                                     # strictly serial per-image loop
+                                     # (main.cpp:431-446)
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -145,18 +145,51 @@ def run_fusion(sp: ScenePaths, problems: Sequence[Problem], cfg: PipelineConfig,
     return len(pts)
 
 
-def run_pipeline(root, cfg: PipelineConfig = PipelineConfig()) -> int:
+def run_pipeline(root, cfg: PipelineConfig = PipelineConfig(),
+                 *, mesh=None) -> int:
     """Full coarse-to-fine reconstruction of a scene folder.
 
     Returns the fused point count.  Mirrors reference main(): per scale,
     photometric/hierarchy + planar-prior pass, then ``geom_iterations``
     geometric passes (the 2nd with multi_geometry).
+
+    Multi-host: when ``jax.process_count() > 1`` (the CLI's ``--distributed``
+    initialises ``jax.distributed``), problems are round-robin assigned to
+    hosts; inter-host exchange stays on the shared filesystem through the
+    .dmb checkpoint layer (the reference's own exchange mechanism,
+    ACMMP.cpp:653-678), with a cross-host barrier between passes so geometric
+    passes always see every source view's previous pass.
     """
+    import jax
+
     sp = ScenePaths(root)
     problems = read_pair_file(sp.pair_file)
     sp.output_dir.mkdir(parents=True, exist_ok=True)
-    log.info("%d problems", len(problems))
     timings = Timings()
+
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+    log.info("%d problems, host %d/%d", len(problems), proc, n_proc)
+
+    def _barrier(name: str) -> None:
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+
+    # device-batched execution (pipeline/batch_runner): one jitted program per
+    # chunk with the problem axis sharded over the local view mesh, replacing
+    # the reference's strictly serial per-image loop (main.cpp:431-446)
+    batched = cfg.batch_problems == "on" or (
+        cfg.batch_problems == "auto" and jax.local_device_count() > 1)
+    if batched:
+        from acmmp_spherical_tpu.parallel.mesh import make_view_mesh
+        from acmmp_spherical_tpu.pipeline.batch_runner import run_pass_batched
+
+        if mesh is None:
+            mesh = make_view_mesh(devices=jax.local_devices())
+        log.info("batched pass execution over %d local devices",
+                 mesh.devices.size)
 
     max_k = compute_multiscale_settings(sp, problems, cfg)
     first = True
@@ -168,12 +201,8 @@ def run_pipeline(root, cfg: PipelineConfig = PipelineConfig()) -> int:
                 p.cur_image_size = p.max_image_size // (2 ** p.num_downscale)
                 p.num_downscale -= 1
 
-        def _run(idx, *, geom, prior, hier, multi, tag):
+        def _run_serial(idx, *, geom, prior, hier, multi, tag, pass_name):
             pid = problems[idx].ref_image_id
-            pass_name = f"{tag}_s{scale}"
-            if cfg.skip_if_complete and is_pass_complete(sp, pass_name, pid):
-                log.info("skip %s image=%08d (complete)", pass_name, pid)
-                return
             # per-problem retry: outputs are idempotent (SURVEY.md 5.3), so a
             # transient device failure costs at most one pass re-run; a second
             # failure skips the view (fusion tolerates missing inputs).
@@ -195,25 +224,60 @@ def run_pipeline(root, cfg: PipelineConfig = PipelineConfig()) -> int:
                         log.exception("pass %s image=%08d failed twice; "
                                       "skipping view", pass_name, pid)
 
+        def _run_all(*, geom, prior, hier, multi, tag):
+            pass_name = f"{tag}_s{scale}"
+            order = [
+                i for i in range(proc, len(problems), n_proc)  # host shard
+                if not (cfg.skip_if_complete and is_pass_complete(
+                    sp, pass_name, problems[i].ref_image_id))
+            ]
+            if cfg.skip_if_complete:
+                log.info("%s: %d of this host's problems to run",
+                         pass_name, len(order))
+            if not order:
+                _barrier(pass_name)
+                return
+            if batched:
+                try:
+                    with timings.scope(tag):
+                        run_pass_batched(
+                            sp, problems, order, cfg, geom=geom,
+                            planar_prior=prior, hierarchy=hier,
+                            multi_geometry=multi, mesh=mesh,
+                        )
+                    for i in order:
+                        mark_pass_complete(sp, pass_name,
+                                           problems[i].ref_image_id)
+                    _barrier(pass_name)
+                    return
+                except Exception:
+                    log.exception("batched pass %s failed; falling back to "
+                                  "serial execution", pass_name)
+            for i in order:
+                _run_serial(i, geom=geom, prior=prior, hier=hier, multi=multi,
+                            tag=tag, pass_name=pass_name)
+            _barrier(pass_name)
+
         if first:
             first = False
-            for i in range(len(problems)):
-                _run(i, geom=False, prior=cfg.planar_prior, hier=False,
+            _run_all(geom=False, prior=cfg.planar_prior, hier=False,
                      multi=False, tag="photometric")
         else:
-            for p in problems:
+            for p in problems[proc::n_proc]:
                 with timings.scope("jbu"):
                     joint_bilateral_upsampling_pass(sp, p, p.cur_image_size)
-            for i in range(len(problems)):
-                _run(i, geom=False, prior=cfg.planar_prior, hier=True,
+            _barrier(f"jbu_s{scale}")
+            _run_all(geom=False, prior=cfg.planar_prior, hier=True,
                      multi=False, tag="hierarchy")
         for gi in range(cfg.geom_iterations):
-            for i in range(len(problems)):
-                _run(i, geom=True, prior=False, hier=False, multi=gi > 0,
+            _run_all(geom=True, prior=False, hier=False, multi=gi > 0,
                      tag=f"geom{gi}")
         scale -= 1
 
-    with timings.scope("fusion"):
-        n = run_fusion(sp, problems, cfg, geom=True)
+    n = 0
+    if proc == 0:
+        with timings.scope("fusion"):
+            n = run_fusion(sp, problems, cfg, geom=True)
+    _barrier("fusion")
     log.info("pipeline timings: %s", timings.summary())
     return n
