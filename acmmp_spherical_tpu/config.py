@@ -89,6 +89,28 @@ class PatchMatchParams:
     # pipeline enables it per problem after the host_rectifiable gate; prior
     # and geometric passes keep the windowed kernel (fast_ncc).
     rect_ncc: bool = False
+    # static compute-grid size for the rectified kernel (rows, cols): the
+    # warped-reference bbox from ops/rectify.rect_comp_shape (host-side, per
+    # problem).  None = the full storage frame.  ~2x fewer kernel tiles at
+    # the bench operating point.
+    rect_comp_hw: "tuple[int, int] | None" = None
+    # route the initial-field cost evaluation through the rectified kernel
+    # too (instead of the exact path): safe whenever the problem's FULL
+    # plausible disparity span fits the kernel's source window, so even a
+    # fresh random field evaluates with full tap coverage
+    # (ops/rectify.rect_span_fits, host-side per problem)
+    rect_init: bool = False
+    # two-stage candidate evaluation in rect mode: rank the propagation /
+    # refinement candidates with a coarse tap grid (radius_increment =
+    # prescreen_increment, 9 taps instead of 36), then give ONLY the
+    # per-pixel winner and the current plane the full-tap evaluation.  The
+    # accept ratchet always compares full-tap costs, so a mis-ranked winner
+    # costs convergence speed, never correctness.  The reference evaluates
+    # every candidate at full taps (ACMMP.cu:1146-1228); this trades ~4x of
+    # the dominant kernel work for slightly noisier candidate choice
+    # (quality-gated on the goldens incl. the discontinuity scene).
+    rect_prescreen: bool = False
+    prescreen_increment: int = 5
 
     # -- planar prior model (ACMMP.cu:818-824, 1249-1255) --------------------
     prior_gamma: float = 0.5

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from acmmp_spherical_tpu.config import PatchMatchParams
 from acmmp_spherical_tpu.ops.rectify import (
-    PAD_X, PAD_Y, RectContext, SENTINEL_THRESH,
+    PAD_X, PAD_Y, RectContext, SENTINEL, SENTINEL_THRESH,
 )
 
 TILE_H = 8
@@ -76,8 +76,13 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
     @pl.when(tile_live)
     def _():
         # ---- shared reference window --------------------------------------
-        y0 = pl.multiple_of(8 * i, TILE_H)          # padded row of (8i - 8)
-        xr0 = pl.multiple_of(128 * j, TILE_W)       # padded col of (128j - 128)
+        # the compute grid sits at a per-pair (8, 128)-aligned offset inside
+        # the storage frame (rectify.rect_comp_shape); tile (i, j) covers
+        # storage content rows/cols (oy + 8i, ox + 128j)
+        oy = srow_ref[0, 0, 2].astype(jnp.int32)
+        ox = srow_ref[0, 0, 3].astype(jnp.int32)
+        y0 = pl.multiple_of(oy + 8 * i, TILE_H)     # padded row of (.. - 8)
+        xr0 = pl.multiple_of(ox + 128 * j, TILE_W)  # padded col of (.. - 128)
         cp_r = pltpu.make_async_copy(
             ref_ref.at[s, pl.ds(y0, WIN_H), pl.ds(xr0, REF_WIN_W)],
             refwin, sem_r)
@@ -87,18 +92,21 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
         dhi = srow_ref[0, 0, 1]
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-        # unpadded rect x of this tile's lanes
-        xg = 128.0 * j.astype(jnp.float32) + lane
+        # unpadded storage-frame rect x of this tile's lanes
+        xg = srow_ref[0, 0, 3] + 128.0 * j.astype(jnp.float32) + lane
         wr_pad = src_ref.shape[2]
 
         def window_origin(D):
             # robust placement: clamp disparities into the plausible range
             # before the tile min so one wild pixel cannot pin the window away
-            # (its own taps are coverage-checked individually)
+            # (its own taps are coverage-checked individually).  Also returns
+            # the tile's source-x extent (lo, hi) for per-chunk gating.
             dclip = jnp.clip(D, dlo, dhi)
-            xmin = jnp.min(xg - dclip) - 6.0
-            cmin = jnp.floor(xmin / TILE_W).astype(jnp.int32) * TILE_W
-            return jnp.clip(cmin, -PAD_X, wr_pad - PAD_X - SRC_WIN_W)
+            t = xg - dclip
+            lo = jnp.min(t)
+            hi = jnp.max(t)
+            cmin = jnp.floor((lo - 6.0) / TILE_W).astype(jnp.int32) * TILE_W
+            return jnp.clip(cmin, -PAD_X, wr_pad - PAD_X - SRC_WIN_W), lo, hi
 
         # ---- per-candidate source windows, double-buffered -----------------
         def src_copy(c, cmin, slot):
@@ -107,7 +115,21 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
                 src_ref.at[s, pl.ds(y0, WIN_H), pl.ds(xs0, SRC_WIN_W)],
                 srcwin.at[slot], sem_s.at[slot])
 
-        cmins = [window_origin(d_ref[c, 0]) for c in range(C)]
+        origins = [window_origin(d_ref[c, 0]) for c in range(C)]
+        cmins = [o[0] for o in origins]
+        # per-candidate chunk liveness: a chunk is dead when no clipped
+        # source-x (+- tap/bilinear slack) can land in it; dead chunks skip
+        # their gathers entirely (lax.cond) and their taps reject via the
+        # SENTINEL accumulator init
+        slack = 21.0
+        chunk_live = []
+        for cmin, lo, hi in origins:
+            cminf = cmin.astype(jnp.float32)
+            chunk_live.append([
+                ((hi - cminf + slack >= cidx * TILE_W)
+                 & (lo - cminf - slack < (cidx + 1) * TILE_W))
+                for cidx in range(SRC_WIN_W // TILE_W)
+            ])
         src_copy(0, cmins[0], 0).start()
 
         inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
@@ -137,22 +159,30 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
                 wrr_ref[t] = wgt * ref_pix * ref_pix
                 t += 1
 
-        def src_sample(rows, xfrac, rel):
-            """Bilinear-in-x sample of an 8-row static slice; (value, ok)."""
-            g0 = zeros
-            g1 = zeros
+        sent = jnp.full((TILE_H, TILE_W), SENTINEL, jnp.float32)
+
+        def src_sample(rows, rows1, xfrac, rel, live):
+            """Bilinear-in-x sample of an 8-row static slice; (value, ok).
+
+            ``rows1`` is the same slice of the lane-rolled (+1) window, so
+            both bilinear neighbours come from ONE shared index (the +1
+            neighbour crosses chunk boundaries through the roll; branchless
+            selects -- a per-chunk lax.cond measured SLOWER than the work it
+            skips on v5e).
+            """
+            g0 = sent
+            g1 = sent
             for cidx in range(n_chunks):
                 i0 = jnp.clip(rel - cidx * TILE_W, 0, TILE_W - 1)
-                i1 = jnp.clip(rel + 1 - cidx * TILE_W, 0, TILE_W - 1)
-                chunk = rows[:, cidx * TILE_W:(cidx + 1) * TILE_W]
-                v0 = jnp.take_along_axis(chunk, i0, axis=1,
-                                         mode="promise_in_bounds")
-                v1 = jnp.take_along_axis(chunk, i1, axis=1,
-                                         mode="promise_in_bounds")
-                g0 = jnp.where((rel >= cidx * TILE_W)
-                               & (rel < (cidx + 1) * TILE_W), v0, g0)
-                g1 = jnp.where((rel + 1 >= cidx * TILE_W)
-                               & (rel + 1 < (cidx + 1) * TILE_W), v1, g1)
+                sel = (rel >= cidx * TILE_W) & (rel < (cidx + 1) * TILE_W)
+                v0 = jnp.take_along_axis(
+                    rows[:, cidx * TILE_W:(cidx + 1) * TILE_W], i0,
+                    axis=1, mode="promise_in_bounds")
+                v1 = jnp.take_along_axis(
+                    rows1[:, cidx * TILE_W:(cidx + 1) * TILE_W], i0,
+                    axis=1, mode="promise_in_bounds")
+                g0 = jnp.where(sel, v0, g0)
+                g1 = jnp.where(sel, v1, g1)
             ok = ((rel >= 0) & (rel <= SRC_WIN_W - 2)
                   & (g0 > SENTINEL_THRESH) & (g1 > SENTINEL_THRESH))
             return g0 + (g1 - g0) * xfrac, ok
@@ -174,19 +204,27 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
                 rel = xf.astype(jnp.int32) - cmins[c]
                 return rel, xsrc - xf
 
+            # lane-rolled (+1) copy of the whole window, shared by all taps
+            win = srcwin[slot]
+            win1 = pltpu.roll(win, SRC_WIN_W - 1, 1)  # lane i <- lane i+1
+            live = chunk_live[c]
+
             # centre validation (reference ACMMP.cu:418-433): the source
             # centre sample must exist and sit in front of both cameras
             rel_c, frac_c = tap_coords(0.0, 0.0)
-            _, ok_c = src_sample(srcwin[slot, 8:16, :], frac_c, rel_c)
+            _, ok_c = src_sample(win[8:16, :], win1[8:16, :], frac_c, rel_c,
+                                 live)
             center_ok = ok_c & (D > 0.0) & valid
 
             s_bw = s_r = s_rr = s_s = s_ss = s_rs = zeros
             t = 0
             for dy in offs:
-                src_rows = srcwin[slot, 8 + dy:16 + dy, :]
+                src_rows = win[8 + dy:16 + dy, :]
+                src_rows1 = win1[8 + dy:16 + dy, :]
                 for dx in offs:
                     rel, xfrac = tap_coords(float(dx), float(dy))
-                    val, ok = src_sample(src_rows, xfrac, rel)
+                    val, ok = src_sample(src_rows, src_rows1, xfrac, rel,
+                                         live)
                     okf = ok.astype(jnp.float32)
                     w_t = okf * wgt_ref[t]
                     s_bw = s_bw + w_t
@@ -245,9 +283,14 @@ def rect_batched_ncc(
     A = scale * n_r[..., 0]
     B = scale * n_r[..., 1]
     cterm = scale * n_r[..., 2] * f
-    # rect coordinates of each original pixel (integer eval points)
-    xr = (rect.bwd_idx % Wr).astype(jnp.float32).reshape(S, H, W)[None]
-    yr = (rect.bwd_idx // Wr).astype(jnp.float32).reshape(S, H, W)[None]
+    # storage-frame rect coordinates of each original pixel (integer eval
+    # points): compute-grid coords from bwd_idx plus the per-pair offset
+    off_x = rect.srow[:, 3][:, None, None]
+    off_y = rect.srow[:, 2][:, None, None]
+    xr = (off_x + (rect.bwd_idx % Wr).astype(jnp.float32)
+          .reshape(S, H, W))[None]
+    yr = (off_y + (rect.bwd_idx // Wr).astype(jnp.float32)
+          .reshape(S, H, W))[None]
     D = A * (xr - cx) + B * (yr - cy) + cterm
     finite = jnp.isfinite(D) & (jnp.abs(D) < 1e8)
     D = jnp.where(finite, D, -1e9)                # coverage-rejected

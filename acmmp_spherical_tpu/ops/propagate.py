@@ -112,6 +112,7 @@ def prepare_inputs(inputs: "PatchMatchInputs",
         rect = build_rect_context(
             inputs.ref_image, inputs.src_images, inputs.ref_cam,
             inputs.src_cams, dr, src_packed=inputs.src_packed,
+            comp_hw=params.rect_comp_hw,
         )
         inputs = inputs._replace(rect=rect)
     return inputs
@@ -362,9 +363,18 @@ def initialize_state(
         dmin, dmax = _depth_range(inputs, params)
         normal, w = R.random_plane_hypothesis(key, cam, xs, ys, dmin, dmax)
 
-    # initial cost of a (possibly random) field: always the exact path
-    cost_vec = _masked_cost_vector(inputs, ctx, normal, w, params,
-                                   allow_fast=False)
+    # initial cost of a (possibly random) field: the exact path, unless the
+    # rectified kernel's window covers the full disparity span (rect_init:
+    # scattered fields then evaluate with full tap coverage, and the ratchet
+    # compares init and candidate costs on the SAME cost definition)
+    if _use_rect(inputs, params) and params.rect_init:
+        cv, _ = _batched_cost_vectors(inputs, ctx, params,
+                                      normal[None], w[None])
+        cost_vec = jnp.where(inputs.src_valid[:, None, None], cv[0],
+                             params.cost_max)
+    else:
+        cost_vec = _masked_cost_vector(inputs, ctx, normal, w, params,
+                                       allow_fast=False)
     cost, selected = topk_cost_and_selection(cost_vec, inputs.src_valid, params)
     # hierarchy commit threshold = the seeded plane's own initial cost (the
     # fork stores a garbage-normal cost / leaves it uninitialised;
@@ -451,6 +461,52 @@ def _refinement(
         cand_depths, cand_normals
     )
 
+    cand_depth_at = jax.vmap(
+        lambda n_i, w_i: G.depth_from_plane(cam, xs, ys, n_i, w_i)
+    )(cand_normals, cand_w)
+
+    if (_use_rect(inputs, params) and params.rect_prescreen
+            and not params.planar_prior):
+        # two-stage (config.rect_prescreen): coarse-tap ranking of the 5
+        # refinement candidates, full-tap eval of the per-pixel winner only.
+        # The sequential ratchet over scalar costs equals a global argmin
+        # (the minimum always beats the running best when reached), so this
+        # deviates only in the ranking cost, never in accept semantics.
+        import dataclasses as _dc
+
+        can_refine = sel.weight_norm > 0.0
+        pre = _dc.replace(params,
+                          radius_increment=params.prescreen_increment)
+        cv5p, _ = _batched_cost_vectors(inputs, ctx, pre,
+                                        cand_normals, cand_w)
+        valid5 = (can_refine[None]
+                  & (cand_depth_at >= dmin) & (cand_depth_at <= dmax)
+                  & (cand_depth_at < G.INVALID_DEPTH))
+        pre_costs = jnp.stack([
+            _aggregate(cv5p[i], None, sel.weights, sel.weight_norm,
+                       params.geom_weight_refine, params)
+            for i in range(5)
+        ])
+        pre_costs = jnp.where(valid5, pre_costs, jnp.inf)
+        pick = jnp.argmin(pre_costs, axis=0)
+        take1 = lambda a: jnp.take_along_axis(a, pick[None], 0)[0]
+        win_n = jnp.take_along_axis(cand_normals, pick[None, ..., None], 0)[0]
+        win_w = take1(cand_w)
+        win_d = take1(cand_depth_at)
+        win_valid = take1(valid5.astype(jnp.int32)) > 0
+        cv1, _ = _batched_cost_vectors(inputs, ctx, params,
+                                       win_n[None], win_w[None])
+        win_cost = _aggregate(cv1[0], None, sel.weights, sel.weight_norm,
+                              params.geom_weight_refine, params)
+        accept = win_valid & (win_cost < cost)
+        return (
+            jnp.where(accept[..., None], win_n, normal),
+            jnp.where(accept, win_w, w),
+            jnp.where(accept, win_d, depth),
+            jnp.where(accept, win_cost, cost),
+            restricted,
+        )
+
     # candidates 0 and 2 carry the random depth; with tile-slab sampling the
     # field is tile-smooth and may use the windowed/rect kernel, otherwise
     # (iid sampling, prior mode) those two stay on the exact path
@@ -465,9 +521,7 @@ def _refinement(
                    sel.weight_norm, params.geom_weight_refine, params)
         for i in range(5)
     ])  # (5, H, W)
-    cand_depth_at_pixel = jax.vmap(
-        lambda n_i, w_i: G.depth_from_plane(cam, xs, ys, n_i, w_i)
-    )(cand_normals, cand_w)
+    cand_depth_at_pixel = cand_depth_at
 
     can_refine = sel.weight_norm > 0.0  # reference early-out (ACMMP.cu:813)
 
@@ -542,7 +596,21 @@ def _halfstep_core(
     # fast path (the geom depth lookup rides the NCC window DMA).  In rect
     # mode the 8 candidates AND the current plane (step 5) are evaluated in
     # ONE batched kernel invocation: the plane gather amortises over C=9.
-    if _use_rect(inputs, params):
+    prescreen = (_use_rect(inputs, params) and params.rect_prescreen
+                 and not params.planar_prior)
+    if prescreen:
+        # two-stage (config.rect_prescreen): coarse-tap ranking of the 8
+        # propagation candidates; winner + current get the full-tap eval in
+        # step 5/6 below
+        import dataclasses as _dc
+
+        pre = _dc.replace(params,
+                          radius_increment=params.prescreen_increment)
+        cost_arrays, _ = _batched_cost_vectors(inputs, ctx, pre,
+                                               cands.normal, cands.w)
+        geom_arrays = None
+        now_vecs = None
+    elif _use_rect(inputs, params):
         all_n = jnp.concatenate([cands.normal, cur_normal[None]], axis=0)
         all_w = jnp.concatenate([cands.w, cur_w[None]], axis=0)
         cv_all, _ = _batched_cost_vectors(inputs, ctx, params, all_n, all_w)
@@ -571,18 +639,7 @@ def _halfstep_core(
     # positions with no votes cannot evaluate costs meaningfully
     no_votes = sel.weight_norm <= 0.0
 
-    # 5. current-plane cost under this half-step's view weights
-    if now_vecs is not None:
-        cv_now, gv_now = now_vecs
-    else:
-        cv_now, gv_now = _cost_and_geom(inputs, ctx, cur_normal, cur_w, params)
-    cost_now0 = _aggregate(cv_now, gv_now, sel.weights, sel.weight_norm,
-                           params.geom_weight_prop, params)
-    cost_now0 = jnp.where(no_votes, cur_cost, cost_now0)
-
-    depth_now0 = G.depth_from_plane(cam, xs, ys, cur_normal, cur_w)
-
-    # 6. propagation acceptance
+    # 6. propagation winner (argmin of the ranking costs)
     min_idx = jnp.argmin(final_costs, axis=0)
     take = lambda a: jnp.take_along_axis(a, min_idx[None], 0)[0]
     best_cost = take(final_costs)
@@ -591,6 +648,26 @@ def _halfstep_core(
     best_valid = take(cands.valid.astype(jnp.int32)) > 0
     best_depth = G.depth_from_plane(cam, xs, ys, best_n, best_w)
     in_range = (best_depth >= dmin) & (best_depth <= dmax)
+
+    # 5. current-plane (and, in prescreen mode, winner) full-tap cost under
+    # this half-step's view weights -- the accept ratchet below always
+    # compares full-tap costs
+    if prescreen:
+        cv2, _ = _batched_cost_vectors(
+            inputs, ctx, params,
+            jnp.stack([best_n, cur_normal]), jnp.stack([best_w, cur_w]))
+        best_cost = _aggregate(cv2[0], None, sel.weights, sel.weight_norm,
+                               params.geom_weight_prop, params)
+        cv_now, gv_now = cv2[1], None
+    elif now_vecs is not None:
+        cv_now, gv_now = now_vecs
+    else:
+        cv_now, gv_now = _cost_and_geom(inputs, ctx, cur_normal, cur_w, params)
+    cost_now0 = _aggregate(cv_now, gv_now, sel.weights, sel.weight_norm,
+                           params.geom_weight_prop, params)
+    cost_now0 = jnp.where(no_votes, cur_cost, cost_now0)
+
+    depth_now0 = G.depth_from_plane(cam, xs, ys, cur_normal, cur_w)
 
     if params.planar_prior:
         prior_depth = G.depth_from_plane(cam, xs, ys, prior_normal, prior_w)

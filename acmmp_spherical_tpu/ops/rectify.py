@@ -65,6 +65,144 @@ def rect_shape(height: int, width: int) -> tuple[int, int]:
     return hr, wr
 
 
+def rect_comp_shape(ref_cam: Camera, src_cams: Cameras,
+                    rect_hw: tuple[int, int]) -> tuple[int, int]:
+    """Static COMPUTE-grid size: the warped-reference bounding box.
+
+    The storage frame (``rect_shape``) must hold the union of both warped
+    footprints, but costs are only ever read back at rect pixels the
+    *reference* footprint claims -- ~40% of the union frame at the bench
+    operating point.  This host-side mirror of ``build_pair_rect`` returns
+    the max-over-pairs warped-ref bbox, padded for the per-pair (8, 128)-
+    aligned traced offset and quantised (rows to 32, cols to 128) so near-
+    identical problems share one compiled program.  Falls back to the full
+    frame for any degenerate pair (host_rectifiable rejects those problems
+    anyway).
+    """
+    hr, wr = rect_hw
+    margin = 2.0
+    R0 = np.asarray(ref_cam.R, np.float64)
+    t0 = np.asarray(ref_cam.t, np.float64)
+    K0 = np.asarray(ref_cam.K, np.float64)
+    C0 = -R0.T @ t0
+    Rs = np.asarray(src_cams.R, np.float64)
+    ts = np.asarray(src_cams.t, np.float64)
+    Ks = np.asarray(src_cams.K, np.float64)
+    whs = np.asarray(src_cams.wh, np.float64)
+    f0 = K0[0, 0]
+    W0 = float(np.asarray(ref_cam.width))
+    H0_ = float(np.asarray(ref_cam.height))
+
+    def corner_uv(R_cr, K, W_, H_):
+        corners = np.array([[0.0, 0.0, 1.0], [W_ - 1.0, 0.0, 1.0],
+                            [0.0, H_ - 1.0, 1.0], [W_ - 1.0, H_ - 1.0, 1.0]])
+        q = corners @ (R_cr @ np.linalg.inv(K)).T
+        if np.any(q[:, 2] <= 1e-6):
+            return None
+        return q[:, 0] / q[:, 2], q[:, 1] / q[:, 2]
+
+    bw = bh = 0.0
+    for s in range(Rs.shape[0]):
+        C1 = -Rs[s].T @ ts[s]
+        b = C1 - C0
+        bn = np.linalg.norm(b)
+        if bn < 1e-9:
+            return hr, wr
+        e1 = b / bn
+        e2 = np.cross(R0[2], e1)
+        n2 = np.linalg.norm(e2)
+        if n2 < 1e-3:
+            return hr, wr
+        e2 = e2 / n2
+        R_rect = np.stack([e1, e2, np.cross(e1, e2)])
+        uv0 = corner_uv(R_rect @ R0.T, K0, W0, H0_)
+        uv1 = corner_uv(R_rect @ Rs[s].T, Ks[s], whs[s, 0], whs[s, 1])
+        if uv0 is None or uv1 is None:
+            return hr, wr
+        u = np.concatenate([uv0[0], uv1[0]])
+        v = np.concatenate([uv0[1], uv1[1]])
+        du = max(u.max() - u.min(), 1e-12)
+        dv = max(v.max() - v.min(), 1e-12)
+        f = min(f0, (wr - 1.0 - 2 * margin) / du, (hr - 1.0 - 2 * margin) / dv)
+        if not np.isfinite(f):
+            return hr, wr
+        # ref-footprint extent in rect pixels at this pair's fitted focal
+        bw = max(bw, f * (uv0[0].max() - uv0[0].min()))
+        bh = max(bh, f * (uv0[1].max() - uv0[1].min()))
+    # slack: 128/8-aligned offset waste + bwd-map rounding + fit margin
+    wb = min(wr, -(-int(bw + 128 + 10) // 128) * 128)
+    hb = min(hr, -(-int(bh + 16 + 10) // 32) * 32)
+    return hb, wb
+
+
+def rect_span_fits(ref_cam: Camera, src_cams: Cameras,
+                   rect_hw: tuple[int, int], *, usable: int = 240) -> bool:
+    """Host-side: does the problem's FULL plausible disparity span fit the
+    kernel's source window for every pair?
+
+    When true, the tile window (anchored at the tile's min clipped disparity)
+    covers *every* hypothesis in [dmin, dmax], so even wildly scattered plane
+    fields -- fresh random initialisation -- evaluate correctly in the
+    rectified kernel and the exact-path init eval (~2 s at the bench
+    operating point) can be skipped.  ``usable`` = SRC_WIN_W minus the
+    128-aligned placement waste and tap/bilinear slack.
+    """
+    hr, wr = rect_hw
+    margin = 2.0
+    R0 = np.asarray(ref_cam.R, np.float64)
+    t0 = np.asarray(ref_cam.t, np.float64)
+    K0 = np.asarray(ref_cam.K, np.float64)
+    C0 = -R0.T @ t0
+    dmin, dmax = np.asarray(ref_cam.depth_range, np.float64)
+    if not (dmin > 0 and dmax > dmin):
+        return False
+    Rs = np.asarray(src_cams.R, np.float64)
+    ts = np.asarray(src_cams.t, np.float64)
+    Ks = np.asarray(src_cams.K, np.float64)
+    whs = np.asarray(src_cams.wh, np.float64)
+    f0 = K0[0, 0]
+    W0 = float(np.asarray(ref_cam.width))
+    H0_ = float(np.asarray(ref_cam.height))
+
+    def corner_uv(R_cr, K, W_, H_):
+        corners = np.array([[0.0, 0.0, 1.0], [W_ - 1.0, 0.0, 1.0],
+                            [0.0, H_ - 1.0, 1.0], [W_ - 1.0, H_ - 1.0, 1.0]])
+        q = corners @ (R_cr @ np.linalg.inv(K)).T
+        if np.any(q[:, 2] <= 1e-6):
+            return None
+        return q[:, 0] / q[:, 2], q[:, 1] / q[:, 2]
+
+    for s in range(Rs.shape[0]):
+        C1 = -Rs[s].T @ ts[s]
+        b = C1 - C0
+        bn = np.linalg.norm(b)
+        if bn < 1e-9:
+            return False
+        e1 = b / bn
+        e2 = np.cross(R0[2], e1)
+        n2 = np.linalg.norm(e2)
+        if n2 < 1e-3:
+            return False
+        e2 = e2 / n2
+        R_rect = np.stack([e1, e2, np.cross(e1, e2)])
+        uv0 = corner_uv(R_rect @ R0.T, K0, W0, H0_)
+        uv1 = corner_uv(R_rect @ Rs[s].T, Ks[s], whs[s, 0], whs[s, 1])
+        if uv0 is None or uv1 is None:
+            return False
+        u = np.concatenate([uv0[0], uv1[0]])
+        v = np.concatenate([uv0[1], uv1[1]])
+        du = max(u.max() - u.min(), 1e-12)
+        dv = max(v.max() - v.min(), 1e-12)
+        f = min(f0, (wr - 1.0 - 2 * margin) / du, (hr - 1.0 - 2 * margin) / dv)
+        if not np.isfinite(f):
+            return False
+        # the pipeline widens the working range (depth_min/max_scale)
+        span = f * bn * (1.0 / (0.6 * dmin) - 1.0 / (1.2 * dmax)) + 4.0
+        if span > usable:
+            return False
+    return True
+
+
 class PairRect(NamedTuple):
     """Per-(ref, src) rectification, batched over the source axis S."""
 
@@ -222,31 +360,31 @@ def warp_to_rect(
     rect_hw: tuple[int, int],
     *,
     sentinel: bool,
-    packed: jax.Array | None = None,  # (Hp*Wp, 4) pack_bilinear table
+    packed16: jax.Array | None = None,  # (Hp*Wp, 16) pack_bicubic table
 ) -> jax.Array:
-    """Bilinear-warp an original image into the padded rectified frame
+    """Warp an original image into the padded rectified frame
     ``(PAD_Y + Hr + PAD_Y, PAD_X + Wr + PAD_X)``.
 
     ``sentinel=True`` writes SENTINEL outside the original image's footprint
     (source images: taps reject); ``sentinel=False`` edge-clamps (reference
-    image: border taps clamp, like the reference's tex2D).  Pass ``packed``
-    (from sampling.pack_bilinear) to sample at the packed-row gather rate.
+    image: border taps clamp, like the reference's tex2D).
 
-    Interpolation is Catmull-Rom bicubic (bilinear fallback at the border
-    and when no packed table is given): a bilinear warp low-passes the
-    frames enough to flatten the NCC cost valley, costing ~2x sub-pixel
-    depth accuracy (measured; see ops/sampling.sample_bicubic_packed)."""
+    Interpolation is Catmull-Rom bicubic from the 16-wide neighbourhood pack
+    (ONE gather per sample; bilinear fallback when no table is given): a
+    bilinear warp low-passes the frames enough to flatten the NCC cost
+    valley, costing ~2x sub-pixel depth accuracy (measured; see
+    ops/sampling.sample_bicubic_packed16)."""
     from acmmp_spherical_tpu.ops.sampling import (
-        sample_bicubic_packed, sample_bilinear,
+        sample_bicubic_packed16, sample_bilinear,
     )
 
     hr, wr = rect_hw
     ys = jax.lax.broadcasted_iota(jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 0) - PAD_Y
     xs = jax.lax.broadcasted_iota(jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 1) - PAD_X
     ox, oy, z = rect_coords(Hinv, xs, ys)
-    if packed is not None:
-        val, ok = sample_bicubic_packed(packed, img.shape[1], ox, oy,
-                                        width, height)
+    if packed16 is not None:
+        val, ok = sample_bicubic_packed16(packed16, img.shape[1], ox, oy,
+                                          width, height)
     else:
         val, ok = sample_bilinear(img, ox, oy, width, height, wrap_x=False)
     if sentinel:
@@ -260,11 +398,15 @@ class RectContext(NamedTuple):
     pr: PairRect
     rect_ref: jax.Array   # (S, Hr+2*PAD_Y, Wr+2*PAD_X) clamp-warped reference
     rect_src: jax.Array   # (S, ..., ...) sentinel-warped sources
-    fwd_valid: jax.Array  # (S, Hr, Wr) float32 0/1: rect pixel is read back by
-                          # some original pixel (the bwd scatter mask)
-    bwd_idx: jax.Array    # (S, H*W) int32: orig pixel -> nearest rect flat idx
+    fwd_valid: jax.Array  # (S, Hb, Wb) float32 0/1: COMPUTE-grid pixel is read
+                          # back by some original pixel (the bwd scatter mask)
+    bwd_idx: jax.Array    # (S, H*W) int32: orig pixel -> nearest compute-grid
+                          # flat idx (bbox coords; add srow[2:4] offsets for
+                          # storage-frame coords)
     bwd_valid: jax.Array  # (S, H, W) bool
-    srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi (window guard)
+    srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi (window guard),
+                          # [2]=oy, [3]=ox ((8,128)-aligned compute-grid
+                          # offset into the storage frame)
 
 
 def build_rect_context(
@@ -273,54 +415,72 @@ def build_rect_context(
     ref_cam: Camera,
     src_cams: Cameras,
     depth_range,             # (dmin, dmax) traced scalars
-    src_packed: jax.Array | None = None,  # (S, Hp*Wp, 4)
+    src_packed: jax.Array | None = None,  # unused (kept for call parity;
+                                          # warps use their own 16-wide pack)
+    comp_hw: tuple[int, int] | None = None,  # static compute-grid size
+                                             # (rect_comp_shape); None = full
 ) -> RectContext:
     """Build the per-pass rectified working set (all XLA; one per pass)."""
-    from acmmp_spherical_tpu.ops.sampling import grid_coords, pack_bilinear
+    from acmmp_spherical_tpu.ops.sampling import grid_coords, pack_bicubic
 
     H, W = ref_image.shape
     hr, wr = rect_shape(H, W)
+    hb, wb = comp_hw if comp_hw is not None else (hr, wr)
     pr = build_pair_rect(ref_cam, src_cams, (hr, wr))
 
-    ref_packed = pack_bilinear(ref_image, ref_cam.width, ref_cam.height,
-                               wrap_x=False)
+    # per-pair (8, 128)-aligned offset of the compute grid: anchor it at the
+    # warped reference footprint's top-left corner (the only rect pixels any
+    # cost is read back from live inside that footprint)
+    corners = jnp.asarray([[0.0, 0.0], [W - 1.0, 0.0],
+                           [0.0, H - 1.0], [W - 1.0, H - 1.0]], jnp.float32)
+
+    def offsets(H0):
+        xr, yr, z = rect_coords(H0, corners[:, 0], corners[:, 1])
+        ox = jnp.floor((jnp.min(xr) - 2.0) / 128.0) * 128.0
+        oy = jnp.floor((jnp.min(yr) - 2.0) / 8.0) * 8.0
+        ox = jnp.clip(ox, 0.0, float(wr - wb))
+        oy = jnp.clip(oy, 0.0, float(hr - hb))
+        return oy, ox
+
+    off_y, off_x = jax.vmap(offsets)(pr.H0)
+
+    ref_p16 = pack_bicubic(ref_image, ref_cam.width, ref_cam.height)
     rect_ref = jax.vmap(
         lambda H0inv: warp_to_rect(ref_image, H0inv, ref_cam.width,
                                    ref_cam.height, (hr, wr), sentinel=False,
-                                   packed=ref_packed)
+                                   packed16=ref_p16)
     )(pr.H0inv)
 
-    if src_packed is None:
-        src_packed = jax.vmap(
-            lambda img, wd, ht: pack_bilinear(img, wd, ht, wrap_x=False)
-        )(src_images, src_cams.width, src_cams.height)
+    src_p16 = jax.vmap(
+        lambda img, wd, ht: pack_bicubic(img, wd, ht)
+    )(src_images, src_cams.width, src_cams.height)
     rect_src = jax.vmap(
         lambda img, pk, H1inv, wd, ht: warp_to_rect(
-            img, H1inv, wd, ht, (hr, wr), sentinel=True, packed=pk)
-    )(src_images, src_packed, pr.H1inv, src_cams.width, src_cams.height)
+            img, H1inv, wd, ht, (hr, wr), sentinel=True, packed16=pk)
+    )(src_images, src_p16, pr.H1inv, src_cams.width, src_cams.height)
 
     # backward map: original pixel -> nearest rect pixel
     xs_o, ys_o = grid_coords(H, W)
 
-    def bwd(H0):
+    def bwd(H0, oy, ox):
         xr, yr, z = rect_coords(H0, xs_o, ys_o)
-        xrn = jnp.round(xr)
-        yrn = jnp.round(yr)
-        ok = (z > 0) & (xrn >= 0) & (xrn < wr) & (yrn >= 0) & (yrn < hr)
-        idx = (jnp.clip(yrn, 0, hr - 1).astype(jnp.int32) * wr
-               + jnp.clip(xrn, 0, wr - 1).astype(jnp.int32))
+        xb = jnp.round(xr) - ox            # compute-grid (bbox) coords
+        yb = jnp.round(yr) - oy
+        ok = (z > 0) & (xb >= 0) & (xb < wb) & (yb >= 0) & (yb < hb)
+        idx = (jnp.clip(yb, 0, hb - 1).astype(jnp.int32) * wb
+               + jnp.clip(xb, 0, wb - 1).astype(jnp.int32))
         return idx.reshape(-1), ok
 
-    bwd_idx, bwd_valid = jax.vmap(bwd)(pr.H0)
+    bwd_idx, bwd_valid = jax.vmap(bwd)(pr.H0, off_y, off_x)
 
     # liveness mask: rect pixels some original pixel reads its cost back from
     # (the scatter targets of the backward map).  Plane parameters are
     # scattered to exactly these pixels by the kernel wrapper, so liveness and
     # plane attribution coincide by construction.
     def fwd_mask(bidx, bok):
-        tgt = jnp.where(bok, bidx, hr * wr)  # hr*wr = discard slot
-        m = jnp.zeros((hr * wr + 1,), jnp.float32).at[tgt].set(1.0)[:-1]
-        return m.reshape(hr, wr)
+        tgt = jnp.where(bok, bidx, hb * wb)  # hb*wb = discard slot
+        m = jnp.zeros((hb * wb + 1,), jnp.float32).at[tgt].set(1.0)[:-1]
+        return m.reshape(hb, wb)
 
     fwd_valid = jax.vmap(fwd_mask)(bwd_idx,
                                    bwd_valid.reshape(bwd_valid.shape[0], -1))
@@ -334,6 +494,8 @@ def build_rect_context(
     # window covers the whole range whenever fB*(1/dmin - 1/dmax) fits
     srow = srow.at[:, 0].set(fB / jnp.maximum(dmax, 1e-6) - 2.0)
     srow = srow.at[:, 1].set(fB / jnp.maximum(dmin, 1e-6) + 2.0)
+    srow = srow.at[:, 2].set(off_y)
+    srow = srow.at[:, 3].set(off_x)
     return RectContext(pr=pr, rect_ref=rect_ref, rect_src=rect_src,
                        fwd_valid=fwd_valid,
                        bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow)

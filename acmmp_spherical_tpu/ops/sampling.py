@@ -166,6 +166,88 @@ def sample_bilinear_packed(
     return top + (bot - top) * fy, valid
 
 
+def pack_bicubic(img: jax.Array, width, height) -> jax.Array:
+    """Pack every pixel's clamped 4x4 neighbourhood into one 16-wide row.
+
+    XLA gather cost on TPU is per ROW regardless of row width (PERF.md), so
+    a Catmull-Rom bicubic sample against this table costs ONE gather instead
+    of the four 2x2-block gathers of :func:`sample_bicubic_packed`.  Rows
+    hold the block anchored at (r-1, c-1), row-major, with out-of-image
+    neighbours edge-clamped.  Returns (Hp*Wp, 16) float32.
+    """
+    hp, wp = img.shape
+    wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
+    hi = height.astype(jnp.int32) if hasattr(height, "astype") else jnp.int32(height)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+
+    def shift_x(a, d):
+        if d < 0:
+            s = jnp.concatenate([jnp.repeat(a[:, :1], -d, 1), a[:, :d]], 1)
+            return jnp.where(cols + d >= 0, s, a[:, :1])
+        if d > 0:
+            s = jnp.concatenate([a[:, d:], jnp.repeat(a[:, -1:], d, 1)], 1)
+            lastc = jnp.take_along_axis(
+                a, jnp.broadcast_to(
+                    jnp.maximum(wi - 1, 0)[None, None], (hp, 1)), axis=1)
+            return jnp.where(cols + d < wi, s, lastc)
+        return a
+
+    def shift_y(a, d):
+        if d < 0:
+            s = jnp.concatenate([jnp.repeat(a[:1], -d, 0), a[:d]], 0)
+            return jnp.where(rows + d >= 0, s, a[:1])
+        if d > 0:
+            s = jnp.concatenate([a[d:], jnp.repeat(a[-1:], d, 0)], 0)
+            lastr = jnp.take_along_axis(
+                a, jnp.broadcast_to(
+                    jnp.maximum(hi - 1, 0)[None, None], (1, wp)), axis=0)
+            return jnp.where(rows + d < hi, s, lastr)
+        return a
+
+    xsh = [shift_x(img, d) for d in (-1, 0, 1, 2)]
+    planes = [shift_y(xs, d) for d in (-1, 0, 1, 2) for xs in xsh]
+    return jnp.stack(planes, axis=-1).reshape(hp * wp, 16)
+
+
+def sample_bicubic_packed16(
+    packed16: jax.Array,  # (Hp*Wp, 16) from pack_bicubic
+    padded_width: int,    # Wp (static)
+    x: jax.Array,
+    y: jax.Array,
+    width: jax.Array,
+    height: jax.Array,
+):
+    """Catmull-Rom bicubic sample from the 16-wide pack: ONE gather/sample.
+
+    Semantics match :func:`sample_bicubic_packed` in the interior; within one
+    pixel of the border the edge-clamped neighbourhood yields a clamped
+    bicubic instead of that function's bilinear fallback (both are
+    border-blur conventions; validity is identical).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    valid = (x >= 0.0) & (x < width) & (y >= 0.0) & (y < height)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
+    hi = height.astype(jnp.int32) if hasattr(height, "astype") else jnp.int32(height)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, wi - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, hi - 1)
+    block = packed16[y0 * padded_width + x0]      # (..., 16)
+    wx = _catmull_rom_weights(fx)
+    wy = _catmull_rom_weights(fy)
+    val = jnp.zeros_like(x)
+    for r in range(4):
+        rowv = jnp.zeros_like(x)
+        for c in range(4):
+            rowv = rowv + wx[c] * block[..., 4 * r + c]
+        val = val + wy[r] * rowv
+    return val, valid
+
+
 def _catmull_rom_weights(t):
     t2 = t * t
     t3 = t2 * t

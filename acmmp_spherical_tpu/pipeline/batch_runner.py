@@ -105,7 +105,14 @@ def _make_chunk(g, n_dev) -> _Chunk:
         lps.append(lps[-1])
     params = plist[0]
     if any(p.rect_ncc != params.rect_ncc for p in plist):
-        params = dataclasses.replace(params, rect_ncc=False)
+        params = dataclasses.replace(params, rect_ncc=False,
+                                     rect_comp_hw=None)
+    elif params.rect_ncc:
+        # one static compute grid per chunk: the max bbox over its problems
+        hws = [p.rect_comp_hw for p in plist]
+        hw = (None if any(h is None for h in hws)
+              else (max(h[0] for h in hws), max(h[1] for h in hws)))
+        params = dataclasses.replace(params, rect_comp_hw=hw)
     return _Chunk(indices=list(idxs), lps=lps, params=params)
 
 

@@ -127,13 +127,17 @@ def load_problem(
         # photometric/hierarchy passes on rectifiable problems take the
         # epipolar-rectified kernel; the per-problem host gate rejects
         # forward-motion / degenerate pairs (ops/rectify.host_rectifiable)
-        from acmmp_spherical_tpu.ops.rectify import host_rectifiable, rect_shape
+        from acmmp_spherical_tpu.ops.rectify import (
+            host_rectifiable, rect_comp_shape, rect_shape, rect_span_fits,
+        )
 
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
-        if n_src and host_rectifiable(
-            ref_cam, stacked, rect_shape(ref_img.shape[0], ref_img.shape[1])
-        ):
-            params = dataclasses.replace(params, rect_ncc=True)
+        rhw = rect_shape(ref_img.shape[0], ref_img.shape[1])
+        if n_src and host_rectifiable(ref_cam, stacked, rhw):
+            params = dataclasses.replace(
+                params, rect_ncc=True, rect_prescreen=True,
+                rect_comp_hw=rect_comp_shape(ref_cam, stacked, rhw),
+                rect_init=rect_span_fits(ref_cam, stacked, rhw))
     if geom:
         params = params.with_geom(multi_geometry)
 

@@ -108,15 +108,26 @@ def main() -> None:
     # geometry rectifies (it does: parallel axes, lateral baselines)
     fast = jax.default_backend() == "tpu"
     rect = False
+    comp_hw = None
     if fast:
-        from acmmp_spherical_tpu.ops.rectify import host_rectifiable, rect_shape
+    rect_init = False
+    if fast:
+        from acmmp_spherical_tpu.ops.rectify import (
+            host_rectifiable, rect_comp_shape, rect_shape, rect_span_fits,
+        )
 
-        rect = host_rectifiable(cams[0], stack_cameras(cams[1:]),
-                                rect_shape(H, W))
-    print(f"[bench] fast_ncc={fast} rect_ncc={rect}", file=sys.stderr)
+        rhw = rect_shape(H, W)
+        stacked = stack_cameras(cams[1:])
+        rect = host_rectifiable(cams[0], stacked, rhw)
+        if rect:
+            comp_hw = rect_comp_shape(cams[0], stacked, rhw)
+            rect_init = rect_span_fits(cams[0], stacked, rhw)
+    print(f"[bench] fast_ncc={fast} rect_ncc={rect} comp_hw={comp_hw} "
+          f"rect_init={rect_init}", file=sys.stderr)
     params = dataclasses.replace(
         PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=fast,
-        rect_ncc=rect,
+        rect_ncc=rect, rect_comp_hw=comp_hw, rect_init=rect_init,
+        rect_prescreen=rect,
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(

@@ -64,9 +64,12 @@ def test_rect_ncc_scores_gt_low_and_wrong_high(setup):
     assert np.mean(badf) > 5.0 * np.mean(good) and np.mean(badf) > 0.15
 
 
-def test_rect_full_pass_quality(setup):
+@pytest.mark.parametrize("rect_init,prescreen", [(False, False),
+                                                 (True, False), (True, True)])
+def test_rect_full_pass_quality(setup, rect_init, prescreen):
     """Full PatchMatch pass with the rectified kernel (interpret mode) matches
-    the exact path's quality on the golden scene."""
+    the exact path's quality on the golden scene -- with the init-field cost
+    on the exact path and on the rectified kernel (rect_init)."""
     import dataclasses
 
     from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
@@ -78,7 +81,12 @@ def test_rect_full_pass_quality(setup):
         ref_image=images[0], src_images=images[1:], ref_cam=ref_cam,
         src_cams=src_cams, src_valid=jnp.ones(3, bool), depth_range=dr,
     )
-    rparams = dataclasses.replace(params, rect_ncc=True)
+    if rect_init:
+        from acmmp_spherical_tpu.ops.rectify import rect_span_fits
+
+        assert rect_span_fits(ref_cam, src_cams, rect_shape(H, W))
+    rparams = dataclasses.replace(params, rect_ncc=True, rect_init=rect_init,
+                                  rect_prescreen=prescreen)
     d, _, cost, _ = run_patchmatch(inputs, rparams, jax.random.key(0))
     d = np.asarray(d)
     gt = depths[0]
@@ -111,3 +119,28 @@ def test_rect_ncc_agrees_with_exact_ranking(setup):
     assert agree.mean() > 0.9, agree.mean()
     # absolute agreement on the GT plane is loose but bounded
     assert np.median(np.abs(r0 - e0)[ok]) < 0.1
+
+
+def test_rect_comp_grid_matches_full_frame(setup):
+    """The bbox compute grid (rect_comp_shape + per-pair offsets) returns the
+    same mapped-back costs as the full storage frame."""
+    from acmmp_spherical_tpu.ops.rectify import rect_comp_shape
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    rhw = rect_shape(H, W)
+    comp_hw = rect_comp_shape(ref_cam, src_cams, rhw)
+    assert comp_hw[0] <= rhw[0] and comp_hw[1] <= rhw[1]
+    assert comp_hw[0] % 8 == 0 and comp_hw[1] % 128 == 0
+    dmin, dmax = ref_cam.depth_range[0], ref_cam.depth_range[1]
+    rect_b = build_rect_context(images[0], images[1:], ref_cam, src_cams,
+                                (dmin, dmax), comp_hw=comp_hw)
+    assert rect_b.fwd_valid.shape[1:] == comp_hw
+    # every original pixel the full frame covers is covered by the bbox grid
+    assert bool(jnp.all(rect_b.bwd_valid == rect.bwd_valid))
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.35])
+    c_full = np.asarray(rect_batched_ncc(rect, normals, ws, params,
+                                         interpret=True))
+    c_bbox = np.asarray(rect_batched_ncc(rect_b, normals, ws, params,
+                                         interpret=True))
+    np.testing.assert_allclose(c_bbox, c_full, rtol=1e-5, atol=1e-5)
