@@ -63,6 +63,41 @@ class CubeRoom:
         return t, normal
 
 
+@dataclasses.dataclass(frozen=True)
+class OccludedRoom(CubeRoom):
+    """CubeRoom with an interior axis-aligned box occluder.
+
+    The box silhouette creates true depth discontinuities (fore/background
+    steps of several units) -- the adversarial case for windowed/slab
+    sampling, whose round-1 disagreements vs the exact path concentrated at
+    depth edges (PERF.md).  Texture is the same world-space field, so
+    photo-consistency stays perfect and any depth error is the sampler's.
+    """
+
+    box_center: tuple = (0.8, -0.4, 0.6)
+    box_half: tuple = (1.0, 1.2, 0.8)
+
+    def ray_exit(self, origin: np.ndarray, direction: np.ndarray):
+        t_room, n_room = CubeRoom.ray_exit(self, origin, direction)
+        d = np.where(np.abs(direction) < 1e-12, 1e-12, direction)
+        c = np.asarray(self.box_center)
+        h = np.asarray(self.box_half)
+        t0 = (c - h - origin) / d
+        t1 = (c + h - origin) / d
+        t_near = np.minimum(t0, t1)
+        t_far = np.maximum(t0, t1)
+        t_enter = np.max(t_near, axis=-1)
+        t_exit = np.min(t_far, axis=-1)
+        hit = (t_enter < t_exit) & (t_enter > 1e-6) & (t_enter < t_room)
+        axis = np.argmax(t_near, axis=-1)
+        sign = np.take_along_axis(np.sign(d), axis[..., None], axis=-1)[..., 0]
+        n_box = np.zeros(direction.shape)
+        np.put_along_axis(n_box, axis[..., None], -sign[..., None], axis=-1)
+        t = np.where(hit, t_enter, t_room)
+        normal = np.where(hit[..., None], n_box, n_room)
+        return t, normal
+
+
 def _pixel_ray_np(cam: Camera, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Pure-numpy twin of geometry.pixel_ray (rendering must not dispatch
     eager device ops: per-op round-trips through a TPU tunnel are seconds)."""

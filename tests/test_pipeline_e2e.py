@@ -68,3 +68,28 @@ def test_pipeline_resume_skips(scene_dir):
     n_points = run_pipeline(root, cfg)
     assert n_points > 2000
     assert time.time() - t0 < 60.0  # no recompute of the patchmatch passes
+
+
+def test_convert_then_reconstruct_e2e(tmp_path):
+    """The reference user flow end-to-end (README.md:24-31): a COLMAP sparse
+    model through the converter CLI, then reconstruction, then a fused cloud
+    checked against the analytic surface.  Exercises the converter's depth
+    ranges / pair selection feeding real passes, not just file parity."""
+    from tests.test_convert import _write_synthetic_colmap
+    from acmmp_spherical_tpu.pipeline.cli import main
+
+    colmap = tmp_path / "colmap"
+    colmap.mkdir()
+    _write_synthetic_colmap(colmap, n_views=5)
+    scene = tmp_path / "scene"
+    rc = main(["convert", "--dense_folder", str(colmap),
+               "--save_folder", str(scene), "--top_k", "4",
+               "--min_shared", "5", "--theta0", "0.05"])
+    assert rc == 0
+    rc = main(["reconstruct", str(scene), "--batch", "off"])
+    assert rc == 0
+    pts, _, _ = read_ply(scene / "ACMMP" / "ACMMP_model.ply")
+    assert len(pts) > 1000
+    m = np.abs(np.asarray(pts)).max(axis=1)
+    on_surface = np.abs(m - 4.0) < 0.08
+    assert on_surface.mean() > 0.97, on_surface.mean()
