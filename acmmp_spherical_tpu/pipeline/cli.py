@@ -20,6 +20,19 @@ import sys
 
 
 def _reconstruct(args) -> int:
+    if args.distributed:
+        # multi-host: every host runs the same command; problems are
+        # round-robin assigned per host inside run_pipeline and exchanged
+        # through the shared scene folder (the reference's own exchange
+        # mechanism, ACMMP.cpp:653-678)
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
     from acmmp_spherical_tpu.config import PipelineConfig
     from acmmp_spherical_tpu.pipeline.multiscale import run_pipeline
 
@@ -28,6 +41,8 @@ def _reconstruct(args) -> int:
         seed=args.seed,
         skip_if_complete=args.resume,
         max_src_views=args.max_src_views,
+        batch_problems=args.batch,
+        size_bound=args.size_bound,
     )
     n = run_pipeline(args.dense_folder, cfg)
     return 0 if n > 0 else 1
@@ -60,6 +75,20 @@ def main(argv=None) -> int:
                    help="skip passes recorded complete in the manifest")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--max-src-views", type=int, default=20)
+    r.add_argument("--batch", default="auto", choices=["auto", "on", "off"],
+                   help="device-batched pass execution over the local devices"
+                        " (auto: on when >1 device)")
+    r.add_argument("--size-bound", type=int, default=1000,
+                   help="pyramid coarsest-scale bound (reference main.cpp:38)")
+    r.add_argument("--distributed", action="store_true",
+                   help="initialise jax.distributed for multi-host runs; "
+                        "each host runs this same command against the shared "
+                        "scene folder")
+    r.add_argument("--coordinator", default="",
+                   help="coordinator address host:port (default: "
+                        "auto-detect from the cluster environment)")
+    r.add_argument("--num-processes", type=int, default=None)
+    r.add_argument("--process-id", type=int, default=None)
     r.set_defaults(fn=_reconstruct)
 
     c = sub.add_parser("convert", help="COLMAP sparse model -> scene folder")
