@@ -109,7 +109,6 @@ def main() -> None:
     fast = jax.default_backend() == "tpu"
     rect = False
     comp_hw = None
-    if fast:
     rect_init = False
     if fast:
         from acmmp_spherical_tpu.ops.rectify import (
