@@ -100,6 +100,12 @@ class PatchMatchParams:
     # fresh random field evaluates with full tap coverage
     # (ops/rectify.rect_span_fits, host-side per problem)
     rect_init: bool = False
+    # static source-window width of the rectified kernel (128-aligned);
+    # usable disparity span ~ width - 144.  384 default; the init eval uses
+    # rect_init_win (512 covers the full plausible span of wide-range
+    # scenes, where per-iteration evals only ever see narrow tile spans)
+    rect_win_w: int = 384
+    rect_init_win: int = 384
     # two-stage candidate evaluation in rect mode: rank the propagation /
     # refinement candidates with a coarse tap grid (radius_increment =
     # prescreen_increment, 9 taps instead of 36), then give ONLY the

@@ -18,10 +18,11 @@ shared by all candidates -- the dominant per-tap work (exp, ref accumulation,
 window DMA) amortises over C.  Source windows are per-candidate (each
 candidate's disparity field places its own window) and double-buffered.
 
-The plane -> rect-grid transport is a *scatter* from the original grid (one
-row per original pixel, ~2.5x fewer rows than gathering per rect pixel; XLA
-gather/scatter cost is per row regardless of width, PERF.md).  Rect pixels no
-original pixel claims stay at D = -1e9 and reject; their cost is never read
+The plane -> rect-grid transport is a wide-row *gather* through the per-pass
+forward map (rectify.RectContext.fwd_idx): an XLA gather row costs ~10 ns
+regardless of width, while a scatter row costs ~14x that (measured on v5e --
+a scatter-based transport was 7x slower end-to-end).  Rect pixels no
+original pixel claims take D = -1e9 and reject; their cost is never read
 back.
 
 Reference equivalence notes (vs ComputeBilateralNCC, ACMMP.cu:398-516): the
@@ -54,7 +55,9 @@ REF_WIN_W = 384   # 128-aligned static cols covering dx span
 # src window: 128-aligned dynamic x origin, placed from the tile's min
 # *clipped* disparity (srow carries the exact plausible range, so a wild
 # plane parameter can never pin the window outside it); ~246 px of
-# disparity span after alignment waste
+# disparity span after alignment waste.  The default; params.rect_win_w
+# overrides per invocation (512 covers spans up to ~370 px for the
+# kernel-evaluated init of wide-range scenes, rectify.rect_span_fits)
 SRC_WIN_W = 384
 
 
@@ -62,6 +65,7 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
                  out_ref, refwin, srcwin, wgt_ref, wr_ref, wrr_ref, sem_r,
                  sem_s,
                  *, params: PatchMatchParams, n_cand: int):
+    SRC_WIN_W = params.rect_win_w or 384
     i = pl.program_id(1)
     j = pl.program_id(2)
     s = pl.program_id(0)
@@ -260,58 +264,65 @@ def rect_batched_ncc(
 ) -> jax.Array:
     """Evaluate C candidate plane fields against S sources -> (C, S, H, W).
 
-    XLA pre-step: affine disparity coefficients (D, A, B) are computed on the
-    ORIGINAL grid (pure VPU math) and scattered onto each pair's rectified
-    grid -- one wide row per original pixel, exact plane attribution at the
-    rect pixel each original pixel reads back from.  XLA post-step: one
-    wide-row gather per pair maps all C cost planes back.
+    XLA pre-step: per-pair affine coefficients (A, B, cterm) are computed on
+    the ORIGINAL grid (pure VPU math, laid out (S, H*W, 3C) so no transpose
+    materialises) and GATHERED onto each pair's rectified grid through the
+    per-pass forward map (rect.fwd_idx, exact plane attribution); the
+    disparity intercept D is evaluated at the rect pixel itself.  XLA
+    post-step: one wide-row gather per pair maps all C cost planes back.
+    A scatter-based transport was measured ~7x slower (an XLA scatter row
+    costs ~14x a gather row on v5e); the only scatter lives in
+    build_rect_context, once per pass.
     """
     C, H, W = ws.shape
     S = rect.bwd_idx.shape[0]
     Hr, Wr = rect.fwd_valid.shape[1:]
     cost_max = params.cost_max
 
-    # ---- affine disparity coefficients on the original grid ---------------
-    n_r = jnp.einsum("sij,chwj->cshwi", rect.pr.R_rr, normals,
-                     precision=jax.lax.Precision.HIGHEST)  # (C,S,H,W,3)
-    f = rect.pr.K[:, 0][None, :, None, None]
-    cx = rect.pr.K[:, 1][None, :, None, None]
-    cy = rect.pr.K[:, 2][None, :, None, None]
-    wply = ws[:, None]
-    scale = -rect.pr.baseline[None, :, None, None] / jnp.where(
+    # ---- affine coefficients on the original grid, (S, HW, C*3) layout ----
+    n_r = jnp.einsum("sij,chwj->shwci", rect.pr.R_rr, normals,
+                     precision=jax.lax.Precision.HIGHEST)  # (S,H,W,C,3)
+    f = rect.pr.K[:, 0][:, None, None, None]
+    wply = jnp.moveaxis(ws, 0, -1)[None]          # (1, H, W, C)
+    scale = -rect.pr.baseline[:, None, None, None] / jnp.where(
         jnp.abs(wply) < 1e-20, 1e-20, wply)
     A = scale * n_r[..., 0]
     B = scale * n_r[..., 1]
     cterm = scale * n_r[..., 2] * f
-    # storage-frame rect coordinates of each original pixel (integer eval
-    # points): compute-grid coords from bwd_idx plus the per-pair offset
-    off_x = rect.srow[:, 3][:, None, None]
-    off_y = rect.srow[:, 2][:, None, None]
-    xr = (off_x + (rect.bwd_idx % Wr).astype(jnp.float32)
-          .reshape(S, H, W))[None]
-    yr = (off_y + (rect.bwd_idx // Wr).astype(jnp.float32)
-          .reshape(S, H, W))[None]
+    table = jnp.stack([A, B, cterm], -1).reshape(S, H * W, C * 3)
+
+    # ---- gather onto the rectified grids through the forward map ----------
+    abc = jax.vmap(lambda t, idx: t[idx])(table, rect.fwd_idx)
+    abc = abc.reshape(S, Hr, Wr, C, 3)
+    A = abc[..., 0].transpose(3, 0, 1, 2)         # (C, S, Hr, Wr)
+    B = abc[..., 1].transpose(3, 0, 1, 2)
+    cterm = abc[..., 2].transpose(3, 0, 1, 2)
+    # D evaluated at the claiming original pixel's rect coordinates == this
+    # rect pixel's own integer coordinates (exact attribution by fwd_idx)
+    cx = rect.pr.K[:, 1][None, :, None, None]
+    cy = rect.pr.K[:, 2][None, :, None, None]
+    off_x = rect.srow[:, 3][None, :, None, None]
+    off_y = rect.srow[:, 2][None, :, None, None]
+    xr = off_x + jax.lax.broadcasted_iota(jnp.float32, (1, S, Hr, Wr), 3)
+    yr = off_y + jax.lax.broadcasted_iota(jnp.float32, (1, S, Hr, Wr), 2)
     D = A * (xr - cx) + B * (yr - cy) + cterm
-    finite = jnp.isfinite(D) & (jnp.abs(D) < 1e8)
+    finite = jnp.isfinite(D) & (jnp.abs(D) < 1e8) & (rect.fwd_valid[None] > 0.5)
     D = jnp.where(finite, D, -1e9)                # coverage-rejected
 
-    # ---- scatter (D, A, B) onto the rectified grids -----------------------
-    rows = jnp.stack([D, A, B], axis=-1)          # (C, S, H, W, 3)
-    rows = rows.transpose(1, 2, 3, 0, 4).reshape(S, H * W, C * 3)
-    # unclaimed rect pixels keep D = -1e9 -> rejected in-kernel, never read
-    init = jnp.full((Hr * Wr + 1, C * 3), -1e9, jnp.float32)
-    bok = rect.bwd_valid.reshape(S, -1)
+    return run_rect_kernel(rect.srow, rect.rect_ref, rect.rect_src, D, A, B,
+                           rect.fwd_valid, rect.bwd_idx, rect.bwd_valid,
+                           params, out_hw=(H, W), interpret=interpret)
 
-    def scatter(rows_s, bidx, bok_s):
-        tgt = jnp.where(bok_s, bidx, Hr * Wr)
-        return init.at[tgt].set(rows_s)[:-1]
 
-    dab = jax.vmap(scatter)(rows, rect.bwd_idx, bok)  # (S, HrWr, 3C)
-    dab = dab.reshape(S, Hr, Wr, C, 3)
-    D = dab[..., 0].transpose(3, 0, 1, 2)
-    A = dab[..., 1].transpose(3, 0, 1, 2)
-    B = dab[..., 2].transpose(3, 0, 1, 2)
-
+def run_rect_kernel(srow, rect_ref, rect_src, D, A, B, fwd_valid, bwd_idx,
+                    bwd_valid, params: PatchMatchParams, *, out_hw,
+                    interpret: bool = False) -> jax.Array:
+    """pallas_call + cost back-mapping shared by the pinhole wrapper above
+    and the spherical wrapper (ops/pallas/ncc_sphere.py): the kernel itself
+    only consumes per-pixel affine displacement fields (D, A, B) plus the
+    warped row-aligned frames, so both geometries drive the same kernel."""
+    C, S, Hr, Wr = D.shape
+    H, W = out_hw
     r = params.patch_size // 2
     n_taps = len(range(-r, r + 1, params.radius_increment)) ** 2
     kernel = functools.partial(_rect_kernel, params=params, n_cand=C)
@@ -333,7 +344,7 @@ def rect_batched_ncc(
         out_shape=jax.ShapeDtypeStruct((C, S, Hr, Wr), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((WIN_H, REF_WIN_W), jnp.float32),
-            pltpu.VMEM((2, WIN_H, SRC_WIN_W), jnp.float32),
+            pltpu.VMEM((2, WIN_H, params.rect_win_w or 384), jnp.float32),
             pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt / tap
             pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt*ref / tap
             pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt*ref^2
@@ -341,11 +352,10 @@ def rect_batched_ncc(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rect.srow[:, None, :], rect.rect_ref, rect.rect_src, D, A, B,
-      rect.fwd_valid)
+    )(srow[:, None, :], rect_ref, rect_src, D, A, B, fwd_valid)
 
     # ---- map the cost planes back to the original grid --------------------
     back = cost_rect.reshape(C, S, Hr * Wr).transpose(1, 2, 0)   # (S, HrWr, C)
-    picked = jax.vmap(lambda t, idx: t[idx])(back, rect.bwd_idx)  # (S, HW, C)
+    picked = jax.vmap(lambda t, idx: t[idx])(back, bwd_idx)      # (S, HW, C)
     cost = picked.transpose(2, 0, 1).reshape(C, S, H, W)
-    return jnp.where(rect.bwd_valid[None], cost, cost_max)
+    return jnp.where(bwd_valid[None], cost, params.cost_max)

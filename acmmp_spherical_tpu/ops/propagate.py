@@ -103,18 +103,29 @@ def prepare_inputs(inputs: "PatchMatchInputs",
         )(inputs.src_images, inputs.src_cams.width, inputs.src_cams.height)
         inputs = inputs._replace(src_packed=packed)
     if (params is not None and params.rect_ncc and inputs.rect is None
-            and not params.planar_prior and not params.geom_consistency
-            and inputs.ref_cam.model == PINHOLE
-            and inputs.src_cams.model == PINHOLE):
-        from acmmp_spherical_tpu.ops.rectify import build_rect_context
-
+            and not params.planar_prior and not params.geom_consistency):
         dr = _depth_range(inputs, params)
-        rect = build_rect_context(
-            inputs.ref_image, inputs.src_images, inputs.ref_cam,
-            inputs.src_cams, dr, src_packed=inputs.src_packed,
-            comp_hw=params.rect_comp_hw,
-        )
-        inputs = inputs._replace(rect=rect)
+        if (inputs.ref_cam.model == PINHOLE
+                and inputs.src_cams.model == PINHOLE):
+            from acmmp_spherical_tpu.ops.rectify import build_rect_context
+
+            rect = build_rect_context(
+                inputs.ref_image, inputs.src_images, inputs.ref_cam,
+                inputs.src_cams, dr, src_packed=inputs.src_packed,
+                comp_hw=params.rect_comp_hw,
+            )
+            inputs = inputs._replace(rect=rect)
+        elif (inputs.ref_cam.model == SPHERE
+                and inputs.src_cams.model == SPHERE):
+            from acmmp_spherical_tpu.ops.sphere_rect import (
+                build_sphere_rect_context,
+            )
+
+            rect = build_sphere_rect_context(
+                inputs.ref_image, inputs.src_images, inputs.ref_cam,
+                inputs.src_cams, dr,
+            )
+            inputs = inputs._replace(rect=rect)
     return inputs
 
 
@@ -200,8 +211,9 @@ def _geom_vec(inputs, normal, w, xs, ys, params):
 
 def _use_rect(inputs, params, allow_fast=True):
     """Rectified-kernel eligibility: photometric/hierarchy passes on
-    rectifiable pinhole problems.  Prior and geom passes keep the windowed
-    kernel (their extra cost terms ride that kernel's windows)."""
+    rectifiable pinhole problems or pole-rotatable spherical problems.
+    Prior and geom passes keep the windowed/exact paths (their extra cost
+    terms ride those)."""
     from acmmp_spherical_tpu.core.camera import PINHOLE
 
     return (
@@ -210,8 +222,8 @@ def _use_rect(inputs, params, allow_fast=True):
         and inputs.rect is not None
         and not params.planar_prior
         and not params.geom_consistency
-        and inputs.ref_cam.model == PINHOLE
-        and inputs.src_cams.model == PINHOLE
+        and inputs.ref_cam.model == inputs.src_cams.model
+        and inputs.ref_cam.model in (PINHOLE, SPHERE)
     )
 
 
@@ -225,11 +237,19 @@ def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
     """
     if _use_rect(inputs, params):
         # rect mode excludes geom passes (_use_rect), so gv is always None
-        from acmmp_spherical_tpu.ops.pallas.ncc_rect import rect_batched_ncc
-
         interpret = jax.default_backend() != "tpu"
-        cv = rect_batched_ncc(inputs.rect, normals, ws, params,
-                              interpret=interpret)
+        if inputs.ref_cam.model == SPHERE:
+            from acmmp_spherical_tpu.ops.sphere_rect import sphere_batched_ncc
+
+            cv = sphere_batched_ncc(inputs.rect, normals, ws, params,
+                                    interpret=interpret)
+        else:
+            from acmmp_spherical_tpu.ops.pallas.ncc_rect import (
+                rect_batched_ncc,
+            )
+
+            cv = rect_batched_ncc(inputs.rect, normals, ws, params,
+                                  interpret=interpret)
         for i in exact_idx:
             cvi = multiview_ncc(
                 inputs.src_images, inputs.src_cams, inputs.ref_cam,
@@ -368,7 +388,12 @@ def initialize_state(
     # scattered fields then evaluate with full tap coverage, and the ratchet
     # compares init and candidate costs on the SAME cost definition)
     if _use_rect(inputs, params) and params.rect_init:
-        cv, _ = _batched_cost_vectors(inputs, ctx, params,
+        import dataclasses as _dc
+
+        # the init window may be wider than the per-iteration one: a random
+        # field spans the whole plausible disparity range (rect_init_window)
+        p0 = _dc.replace(params, rect_win_w=params.rect_init_win)
+        cv, _ = _batched_cost_vectors(inputs, ctx, p0,
                                       normal[None], w[None])
         cost_vec = jnp.where(inputs.src_valid[:, None, None], cv[0],
                              params.cost_max)

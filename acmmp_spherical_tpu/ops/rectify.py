@@ -136,7 +136,8 @@ def rect_comp_shape(ref_cam: Camera, src_cams: Cameras,
 
 
 def rect_span_fits(ref_cam: Camera, src_cams: Cameras,
-                   rect_hw: tuple[int, int], *, usable: int = 240) -> bool:
+                   rect_hw: tuple[int, int], *, usable: int = 240,
+                   min_scale: float = 1.0, max_scale: float = 1.0) -> bool:
     """Host-side: does the problem's FULL plausible disparity span fit the
     kernel's source window for every pair?
 
@@ -144,8 +145,9 @@ def rect_span_fits(ref_cam: Camera, src_cams: Cameras,
     covers *every* hypothesis in [dmin, dmax], so even wildly scattered plane
     fields -- fresh random initialisation -- evaluate correctly in the
     rectified kernel and the exact-path init eval (~2 s at the bench
-    operating point) can be skipped.  ``usable`` = SRC_WIN_W minus the
-    128-aligned placement waste and tap/bilinear slack.
+    operating point) can be skipped.  ``usable`` = the window width minus
+    the 128-aligned placement waste and tap/bilinear slack (window 384 ->
+    ~240, 512 -> ~368; see rect_init_window).
     """
     hr, wr = rect_hw
     margin = 2.0
@@ -196,11 +198,26 @@ def rect_span_fits(ref_cam: Camera, src_cams: Cameras,
         f = min(f0, (wr - 1.0 - 2 * margin) / du, (hr - 1.0 - 2 * margin) / dv)
         if not np.isfinite(f):
             return False
-        # the pipeline widens the working range (depth_min/max_scale)
-        span = f * bn * (1.0 / (0.6 * dmin) - 1.0 / (1.2 * dmax)) + 4.0
+        # callers pass their working-range widening (the pipeline's
+        # depth_min/max_scale; the bench samples the raw range)
+        span = f * bn * (1.0 / (min_scale * dmin)
+                         - 1.0 / (max_scale * dmax)) + 4.0
         if span > usable:
             return False
     return True
+
+
+def rect_init_window(ref_cam: Camera, src_cams: Cameras,
+                     rect_hw: tuple[int, int], *, min_scale: float = 1.0,
+                     max_scale: float = 1.0) -> int:
+    """Smallest static source-window width (384/512/640) whose usable span
+    covers the problem's full plausible disparity range, or 0 if none does.
+    Used for the kernel-evaluated init (PatchMatchParams.rect_init_win)."""
+    for win in (384, 512, 640):
+        if rect_span_fits(ref_cam, src_cams, rect_hw, usable=win - 144,
+                          min_scale=min_scale, max_scale=max_scale):
+            return win
+    return 0
 
 
 class PairRect(NamedTuple):
@@ -400,6 +417,12 @@ class RectContext(NamedTuple):
     rect_src: jax.Array   # (S, ..., ...) sentinel-warped sources
     fwd_valid: jax.Array  # (S, Hb, Wb) float32 0/1: COMPUTE-grid pixel is read
                           # back by some original pixel (the bwd scatter mask)
+    fwd_idx: jax.Array    # (S, Hb*Wb) int32: compute-grid pixel -> the orig
+                          # flat idx whose plane it evaluates (exact inverse
+                          # of the backward map; built ONCE per pass so the
+                          # per-invocation plane transport is a pure GATHER --
+                          # an XLA scatter row costs ~14x a gather row on
+                          # v5e, measured)
     bwd_idx: jax.Array    # (S, H*W) int32: orig pixel -> nearest compute-grid
                           # flat idx (bbox coords; add srow[2:4] offsets for
                           # storage-frame coords)
@@ -473,17 +496,22 @@ def build_rect_context(
 
     bwd_idx, bwd_valid = jax.vmap(bwd)(pr.H0, off_y, off_x)
 
-    # liveness mask: rect pixels some original pixel reads its cost back from
-    # (the scatter targets of the backward map).  Plane parameters are
-    # scattered to exactly these pixels by the kernel wrapper, so liveness and
-    # plane attribution coincide by construction.
-    def fwd_mask(bidx, bok):
+    # forward map + liveness: for every compute-grid pixel, the original
+    # pixel whose plane it evaluates -- the exact inverse of the backward map
+    # (collisions: last writer wins; rare at f_rect == f_ref).  Built ONCE
+    # per pass; each kernel invocation transports plane parameters with a
+    # pure GATHER through it (an XLA scatter row costs ~14x a gather row on
+    # v5e, measured -- the scatter lives here, amortised).
+    oflat = jnp.arange(H * W, dtype=jnp.int32)
+
+    def fwd_map(bidx, bok):
         tgt = jnp.where(bok, bidx, hb * wb)  # hb*wb = discard slot
         m = jnp.zeros((hb * wb + 1,), jnp.float32).at[tgt].set(1.0)[:-1]
-        return m.reshape(hb, wb)
+        idx = jnp.zeros((hb * wb + 1,), jnp.int32).at[tgt].set(oflat)[:-1]
+        return idx, m.reshape(hb, wb)
 
-    fwd_valid = jax.vmap(fwd_mask)(bwd_idx,
-                                   bwd_valid.reshape(bwd_valid.shape[0], -1))
+    fwd_idx, fwd_valid = jax.vmap(fwd_map)(
+        bwd_idx, bwd_valid.reshape(bwd_valid.shape[0], -1))
 
     dmin, dmax = depth_range[0], depth_range[1]
     fB = pr.K[:, 0] * pr.baseline
@@ -497,7 +525,7 @@ def build_rect_context(
     srow = srow.at[:, 2].set(off_y)
     srow = srow.at[:, 3].set(off_x)
     return RectContext(pr=pr, rect_ref=rect_ref, rect_src=rect_src,
-                       fwd_valid=fwd_valid,
+                       fwd_valid=fwd_valid, fwd_idx=fwd_idx,
                        bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow)
 
 

@@ -166,14 +166,15 @@ def sample_bilinear_packed(
     return top + (bot - top) * fy, valid
 
 
-def pack_bicubic(img: jax.Array, width, height) -> jax.Array:
+def pack_bicubic(img: jax.Array, width, height, *, wrap_x: bool = False) -> jax.Array:
     """Pack every pixel's clamped 4x4 neighbourhood into one 16-wide row.
 
     XLA gather cost on TPU is per ROW regardless of row width (PERF.md), so
     a Catmull-Rom bicubic sample against this table costs ONE gather instead
     of the four 2x2-block gathers of :func:`sample_bicubic_packed`.  Rows
     hold the block anchored at (r-1, c-1), row-major, with out-of-image
-    neighbours edge-clamped.  Returns (Hp*Wp, 16) float32.
+    neighbours edge-clamped (``wrap_x=True`` wraps x instead -- equirect
+    longitude seam).  Returns (Hp*Wp, 16) float32.
     """
     hp, wp = img.shape
     wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
@@ -182,16 +183,21 @@ def pack_bicubic(img: jax.Array, width, height) -> jax.Array:
     rows = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
 
     def shift_x(a, d):
-        if d < 0:
+        if d == 0:
+            return a
+        lastc = jnp.take_along_axis(        # column (wi - 1), (hp, 1)
+            a, jnp.broadcast_to(
+                jnp.maximum(wi - 1, 0)[None, None], (hp, 1)), axis=1)
+        if d < 0:   # only d == -1 occurs
             s = jnp.concatenate([jnp.repeat(a[:, :1], -d, 1), a[:, :d]], 1)
-            return jnp.where(cols + d >= 0, s, a[:, :1])
-        if d > 0:
-            s = jnp.concatenate([a[:, d:], jnp.repeat(a[:, -1:], d, 1)], 1)
-            lastc = jnp.take_along_axis(
-                a, jnp.broadcast_to(
-                    jnp.maximum(wi - 1, 0)[None, None], (hp, 1)), axis=1)
-            return jnp.where(cols + d < wi, s, lastc)
-        return a
+            fill = lastc if wrap_x else a[:, :1]
+            return jnp.where(cols + d >= 0, s, fill)
+        s = jnp.concatenate([a[:, d:], jnp.repeat(a[:, -1:], d, 1)], 1)
+        if wrap_x:  # d in (1, 2): wrapped columns are 0 or 1
+            fill = jnp.where((cols + d - wi) == 0, a[:, 0:1], a[:, 1:2])
+        else:
+            fill = lastc
+        return jnp.where(cols + d < wi, s, fill)
 
     def shift_y(a, d):
         if d < 0:
@@ -217,24 +223,32 @@ def sample_bicubic_packed16(
     y: jax.Array,
     width: jax.Array,
     height: jax.Array,
+    *,
+    wrap_x: bool = False,
 ):
     """Catmull-Rom bicubic sample from the 16-wide pack: ONE gather/sample.
 
     Semantics match :func:`sample_bicubic_packed` in the interior; within one
     pixel of the border the edge-clamped neighbourhood yields a clamped
     bicubic instead of that function's bilinear fallback (both are
-    border-blur conventions; validity is identical).
+    border-blur conventions; validity is identical).  ``wrap_x=True`` wraps
+    x (pack built with wrap_x; equirect longitude seam).
     """
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
-    valid = (x >= 0.0) & (x < width) & (y >= 0.0) & (y < height)
+    if wrap_x:
+        x = x - jnp.floor(x / width) * width
+        valid = (y >= 0.0) & (y < height)
+    else:
+        valid = (x >= 0.0) & (x < width) & (y >= 0.0) & (y < height)
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     fx = x - x0f
     fy = y - y0f
     wi = width.astype(jnp.int32) if hasattr(width, "astype") else jnp.int32(width)
     hi = height.astype(jnp.int32) if hasattr(height, "astype") else jnp.int32(height)
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, wi - 1)
+    x0 = x0f.astype(jnp.int32)
+    x0 = jnp.remainder(x0, jnp.maximum(wi, 1)) if wrap_x else jnp.clip(x0, 0, wi - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, hi - 1)
     block = packed16[y0 * padded_width + x0]      # (..., 16)
     wx = _catmull_rom_weights(fx)

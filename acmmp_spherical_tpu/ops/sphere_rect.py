@@ -1,0 +1,300 @@
+"""Pole-rotated spherical fast path: equirect pairs for the rectified kernel.
+
+The reference evaluates SPHERE problems with per-tap ray trigonometry inside
+the NCC kernel (ComputeBilateralNCC sphere branches, ACMMP.cu:425-486); a
+direct port would be gather-bound on TPU exactly like the pinhole case.
+Instead, rotate each (ref, src) pair so the baseline becomes the POLE axis
+of a shared equirectangular frame:
+
+* the pair's relative motion is then a pure translation along the pole, so
+  a scene point keeps its LONGITUDE and moves only in LATITUDE between the
+  two rotated views -- meridians are the epipolar curves;
+* storing the rotated frames TRANSPOSED (rows = meridians/longitude,
+  lanes = latitude) makes every match a same-row lane displacement, which
+  is precisely the contract of the rectified Pallas kernel
+  (ops/pallas/ncc_rect._rect_kernel): per-pixel displacement fields
+  ``disp(x+dx, y+dy) ~= D + A dx + B dy`` with taps sampled at
+  ``(x + dx - disp, y + dy)``;
+* a plane hypothesis induces ``lat_src = atan2(d sin(lat) + B, d cos(lat))``
+  with ``d`` the plane depth along the pixel ray -- smooth in the tile, so
+  the affine (D, A, B) model holds away from the rotated poles.  The poles
+  ARE the pair's epipoles: pixels within ``lat_cap`` of them are masked per
+  pair (their cost is cost_max for THAT view only; other views have other
+  pole axes, mirroring the reference's epipole degradation).
+
+The rotation basis signs are chosen so displacement is non-negative
+(lane_src >= lane_ref), matching the kernel's positive-disparity validation.
+All transport uses the same once-per-pass forward map + wide-row gathers as
+the pinhole path (an XLA scatter row costs ~14x a gather row; PERF.md).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from acmmp_spherical_tpu.core.camera import Camera, Cameras, camera_center
+from acmmp_spherical_tpu.ops.rectify import PAD_X, PAD_Y
+
+_HI = jax.lax.Precision.HIGHEST
+PI = math.pi
+LAT_CAP_DEG = 78.0   # per-pair polar cap: |rotated latitude| above this is
+                     # masked (epipole region; affine disp model degrades)
+
+
+class SphereRectContext(NamedTuple):
+    """Per-pass pole-rotated working set (sphere analog of RectContext)."""
+
+    rect_ref: jax.Array   # (S, Wt+2*PAD_Y, Ht+2*PAD_X) transposed rotated
+                          # equirect reference (rows=lon, lanes=lat)
+    rect_src: jax.Array   # (S, ..., ...) transposed rotated sources
+    fwd_idx: jax.Array    # (S, Wt*Ht) int32: compute pixel -> orig flat idx
+    fwd_valid: jax.Array  # (S, Wt, Ht) float32 0/1
+    bwd_idx: jax.Array    # (S, H*W) int32: orig pixel -> compute flat idx
+    bwd_valid: jax.Array  # (S, H, W) bool
+    srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi, [2]=[3]=0
+    rays_cam: jax.Array   # (S, H, W, 3, 3) ref-cam rays of each orig pixel's
+                          # claimed target at (+0, +1 lane, +1 row)
+    slat: jax.Array       # (S, H, W, 3) sin(rotated lat) at those targets
+    lat: jax.Array        # (S, H, W, 3) rotated lat (radians)
+    baseline: jax.Array   # (S,)
+
+
+def _equirect_ray(lon, lat):
+    cl = jnp.cos(lat)
+    return jnp.stack([cl * jnp.sin(lon), -jnp.sin(lat), cl * jnp.cos(lon)],
+                     axis=-1)
+
+
+def sphere_rectifiable(ref_cam: Camera, src_cams: Cameras) -> bool:
+    """Host gate: every pair has a usable baseline (pole basis exists)."""
+    R0 = np.asarray(ref_cam.R, np.float64)
+    t0 = np.asarray(ref_cam.t, np.float64)
+    C0 = -R0.T @ t0
+    Rs = np.asarray(src_cams.R, np.float64)
+    ts = np.asarray(src_cams.t, np.float64)
+    for s in range(Rs.shape[0]):
+        C1 = -Rs[s].T @ ts[s]
+        b = R0 @ (C1 - C0)
+        bn = np.linalg.norm(b)
+        if bn < 1e-9:
+            return False
+        # e3 (forward) degenerates when the baseline is the optical axis;
+        # any other axis works, so only reject the exactly-parallel case
+        if abs(b[2] / bn) > 1.0 - 1e-9:
+            return False
+    return True
+
+
+def build_sphere_rect_context(
+    ref_image: jax.Array,    # (H, W) equirect
+    src_images: jax.Array,   # (S, Hp, Wp)
+    ref_cam: Camera,
+    src_cams: Cameras,
+    depth_range,             # (dmin, dmax) traced scalars
+    lat_cap_deg: float = LAT_CAP_DEG,
+) -> SphereRectContext:
+    """Build the per-pass pole-rotated working set (all XLA; one per pass)."""
+    from acmmp_spherical_tpu.core import geometry as G
+    from acmmp_spherical_tpu.ops.sampling import (
+        grid_coords, pack_bicubic, sample_bicubic_packed16,
+    )
+
+    H, W = ref_image.shape
+    Ht = -(-H // 128) * 128      # lanes (latitude), 128-aligned
+    Wt = -(-W // 8) * 8          # rows (longitude), 8-aligned
+    cx = ref_cam.params[1]
+    cy = ref_cam.params[2]
+    lat_cap = math.radians(lat_cap_deg)
+
+    # ---- per-pair pole basis (ref-cam frame) -------------------------------
+    C0 = camera_center(ref_cam)
+    Csrc = jax.vmap(lambda R, t: -R.T @ t)(src_cams.R, src_cams.t)
+    b_cam = jnp.einsum("ij,sj->si", ref_cam.R, Csrc - C0, precision=_HI)
+    Bn = jnp.linalg.norm(b_cam, axis=-1)
+    e2 = b_cam / jnp.maximum(Bn, 1e-20)[:, None]   # pole axis = +baseline
+    z = jnp.asarray([0.0, 0.0, 1.0])
+    e3 = z[None] - e2 * e2[:, 2:3]
+    e3 = e3 / jnp.maximum(jnp.linalg.norm(e3, axis=-1, keepdims=True), 1e-20)
+    e1 = jnp.cross(e2, e3)
+    R_rot = jnp.stack([e1, e2, e3], axis=-2)       # (S, 3, 3) cam -> rot
+
+    # ---- warps into the transposed rotated frames --------------------------
+    rows = (jax.lax.broadcasted_iota(
+        jnp.float32, (Wt + 2 * PAD_Y, Ht + 2 * PAD_X), 0) - PAD_Y)
+    lanes = (jax.lax.broadcasted_iota(
+        jnp.float32, (Wt + 2 * PAD_Y, Ht + 2 * PAD_X), 1) - PAD_X)
+    lon_g = (rows - cx) / W * (2.0 * PI)
+    lat_g = -(lanes - cy) / H * PI
+    ray_rot_g = _equirect_ray(lon_g, lat_g)        # (Rp, Lp, 3)
+
+    def px_of_ray(ray):
+        """Equirect pixel of a unit ray in its own camera frame."""
+        lat = -jnp.arcsin(jnp.clip(ray[..., 1], -1.0, 1.0))
+        lon = jnp.arctan2(ray[..., 0], ray[..., 2])
+        return (lon / (2.0 * PI) * W + cx, -lat / PI * H + cy)
+
+    ref_p16 = pack_bicubic(ref_image, ref_cam.width, ref_cam.height,
+                           wrap_x=True)
+
+    def warp_ref(Rr):
+        ray_cam = jnp.einsum("ji,...j->...i", Rr, ray_rot_g,
+                             precision=_HI)
+        px, py = px_of_ray(ray_cam)
+        val, _ = sample_bicubic_packed16(ref_p16, ref_image.shape[1], px, py,
+                                         ref_cam.width, ref_cam.height,
+                                         wrap_x=True)
+        return val
+
+    rect_ref = jax.vmap(warp_ref)(R_rot)
+
+    R_rel = jnp.einsum("sij,kj->sik", src_cams.R, ref_cam.R,
+                       precision=_HI)              # src-cam <- ref-cam
+
+    def warp_src(img, Rr, Rl, wd, ht, pcx, pcy):
+        p16 = pack_bicubic(img, wd, ht, wrap_x=True)
+        ray_cam = jnp.einsum("ji,...j->...i", Rr, ray_rot_g, precision=_HI)
+        ray_s = jnp.einsum("ij,...j->...i", Rl, ray_cam, precision=_HI)
+        lat = -jnp.arcsin(jnp.clip(ray_s[..., 1], -1.0, 1.0))
+        lon = jnp.arctan2(ray_s[..., 0], ray_s[..., 2])
+        px = lon / (2.0 * PI) * wd + pcx
+        py = -lat / PI * ht + pcy
+        val, _ = sample_bicubic_packed16(p16, img.shape[1], px, py, wd, ht,
+                                         wrap_x=True)
+        return val
+
+    rect_src = jax.vmap(warp_src)(src_images, R_rot, R_rel,
+                                  src_cams.width, src_cams.height,
+                                  src_cams.params[:, 1], src_cams.params[:, 2])
+
+    # ---- backward map: orig pixel -> transposed rotated pixel --------------
+    xs, ys = grid_coords(H, W)
+    ray_o = G.pixel_ray(ref_cam, xs, ys)           # (H, W, 3) unit
+
+    def bwd(Rr):
+        ray_r = jnp.einsum("ij,hwj->hwi", Rr, ray_o, precision=_HI)
+        lat_r = -jnp.arcsin(jnp.clip(ray_r[..., 1], -1.0, 1.0))
+        lon_r = jnp.arctan2(ray_r[..., 0], ray_r[..., 2])
+        rowf = lon_r / (2.0 * PI) * W + cx
+        lanef = -lat_r / PI * H + cy
+        row = jnp.remainder(jnp.round(rowf).astype(jnp.int32), W)
+        lane = jnp.round(lanef).astype(jnp.int32)
+        ok = (jnp.abs(lat_r) <= lat_cap) & (lane >= 0) & (lane < H)
+        idx = row * Ht + jnp.clip(lane, 0, Ht - 1)
+        return idx.reshape(-1), ok, row, lane
+
+    bwd_idx, bwd_valid, row_q, lane_q = jax.vmap(bwd)(R_rot)
+
+    # ---- forward map (the once-per-pass scatter) ---------------------------
+    oflat = jnp.arange(H * W, dtype=jnp.int32)
+
+    def fwd_map(bidx, bok):
+        tgt = jnp.where(bok.reshape(-1), bidx, Wt * Ht)
+        m = jnp.zeros((Wt * Ht + 1,), jnp.float32).at[tgt].set(1.0)[:-1]
+        idx = jnp.zeros((Wt * Ht + 1,), jnp.int32).at[tgt].set(oflat)[:-1]
+        return idx, m.reshape(Wt, Ht)
+
+    fwd_idx, fwd_valid = jax.vmap(fwd_map)(bwd_idx, bwd_valid)
+
+    # ---- hoisted target rays (center, +1 lane, +1 row) ---------------------
+    def targets(Rr, row, lane):
+        rays, slats, lats = [], [], []
+        for dr, dc in ((0, 0), (0, 1), (1, 0)):
+            lon_q = (row.astype(jnp.float32) + dr - cx) / W * (2.0 * PI)
+            lat_qv = -(lane.astype(jnp.float32) + dc - cy) / H * PI
+            rr = _equirect_ray(lon_q, lat_qv)
+            rc = jnp.einsum("ji,hwj->hwi", Rr, rr, precision=_HI)
+            rays.append(rc)
+            slats.append(jnp.sin(lat_qv))
+            lats.append(lat_qv)
+        return (jnp.stack(rays, axis=-2), jnp.stack(slats, axis=-1),
+                jnp.stack(lats, axis=-1))
+
+    rays_cam, slat, lat = jax.vmap(targets)(R_rot, row_q, lane_q)
+
+    # ---- global displacement bounds (srow) ---------------------------------
+    dmin, dmax = depth_range[0], depth_range[1]
+    sl0 = slat[..., 0]
+    cl0 = jnp.sqrt(jnp.maximum(1.0 - sl0 * sl0, 1e-12))
+    live = bwd_valid
+
+    def disp_at(d):
+        lat_s = jnp.arctan2(d * sl0 + Bn[:, None, None], d * cl0)
+        # lane_ref - lane_src: positive with the +baseline pole axis
+        return (lat_s - lat[..., 0]) * (H / PI)
+
+    d_lo = disp_at(jnp.maximum(dmin, 1e-6))
+    d_hi = disp_at(jnp.maximum(dmax, 1e-6))
+    big = jnp.where(live, jnp.maximum(d_lo, d_hi), -jnp.inf)
+    sml = jnp.where(live, jnp.minimum(d_lo, d_hi), jnp.inf)
+    srow = jnp.zeros((Bn.shape[0], 128), jnp.float32)
+    srow = srow.at[:, 0].set(jnp.min(sml.reshape(Bn.shape[0], -1), axis=1) - 2.0)
+    srow = srow.at[:, 1].set(jnp.max(big.reshape(Bn.shape[0], -1), axis=1) + 2.0)
+
+    return SphereRectContext(
+        rect_ref=rect_ref, rect_src=rect_src, fwd_idx=fwd_idx,
+        fwd_valid=fwd_valid, bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow,
+        rays_cam=rays_cam, slat=slat, lat=lat, baseline=Bn,
+    )
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def sphere_batched_ncc(
+    ctx: SphereRectContext,
+    normals: jax.Array,    # (C, H, W, 3) plane normals (ref-cam frame)
+    ws: jax.Array,         # (C, H, W)
+    params,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Evaluate C candidate plane fields against S sources -> (C, S, H, W).
+
+    XLA pre-step: for each original pixel's claimed target (and its +1 lane /
+    +1 row neighbours, hoisted in the context), the plane depth along the
+    target ray gives the latitude displacement; finite differences yield the
+    kernel's affine (D, A, B).  Transport/back-map identical to the pinhole
+    wrapper (wide-row gathers through the per-pass maps).
+    """
+    from acmmp_spherical_tpu.ops.pallas.ncc_rect import run_rect_kernel
+
+    C, H, W = ws.shape
+    S = ctx.baseline.shape[0]
+    Wt, Ht = ctx.fwd_valid.shape[1:]
+    Bn = ctx.baseline[:, None, None, None]          # (S, 1, 1, 1)
+    wsl = jnp.moveaxis(ws, 0, -1)[None]             # (1, H, W, C)
+
+    disps, oks = [], []
+    for k in range(3):
+        ndot = jnp.einsum("chwj,shwj->shwc", normals, ctx.rays_cam[..., k, :],
+                          precision=_HI)
+        d = -wsl / jnp.where(jnp.abs(ndot) < 1e-20, 1e-20, ndot)
+        sl = ctx.slat[..., k][..., None]
+        cl = jnp.sqrt(jnp.maximum(1.0 - sl * sl, 1e-12))
+        u = d * sl + Bn
+        v = d * cl
+        lat_s = jnp.arctan2(u, v)
+        disp = (lat_s - ctx.lat[..., k][..., None]) * (H / PI)
+        disps.append(disp)
+        oks.append((d > 0) & (v > 0) & jnp.isfinite(disp))
+    good = oks[0] & oks[1] & oks[2]
+    D = jnp.where(good, disps[0], -1e9)
+    A = jnp.where(good, disps[1] - disps[0], 0.0)
+    Bc = jnp.where(good, disps[2] - disps[0], 0.0)
+    table = jnp.stack([D, A, Bc], -1).reshape(S, H * W, C * 3)
+
+    dab = jax.vmap(lambda t, idx: t[idx])(table, ctx.fwd_idx)
+    dab = dab.reshape(S, Wt, Ht, C, 3)
+    D = dab[..., 0].transpose(3, 0, 1, 2)           # (C, S, Wt, Ht)
+    A = dab[..., 1].transpose(3, 0, 1, 2)
+    Bc = dab[..., 2].transpose(3, 0, 1, 2)
+    D = jnp.where(ctx.fwd_valid[None] > 0.5, D, -1e9)
+    return run_rect_kernel(ctx.srow, ctx.rect_ref, ctx.rect_src, D, A, Bc,
+                           ctx.fwd_valid, ctx.bwd_idx, ctx.bwd_valid, params,
+                           out_hw=(H, W), interpret=interpret)

@@ -19,7 +19,17 @@ import dataclasses
 import sys
 
 
+def _set_platform(platform: str) -> None:
+    if platform != "auto":
+        # the env var alone is not enough on hosts whose sitecustomize pins
+        # a platform plugin; the config update wins over both
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def _reconstruct(args) -> int:
+    _set_platform(args.platform)
     if args.distributed:
         # multi-host: every host runs the same command; problems are
         # round-robin assigned per host inside run_pipeline and exchanged
@@ -49,6 +59,7 @@ def _reconstruct(args) -> int:
 
 
 def _convert(args) -> int:
+    _set_platform(args.platform)
     from acmmp_spherical_tpu.pipeline.convert import ConvertOptions, convert_colmap_scene
 
     opts = ConvertOptions(
@@ -89,6 +100,9 @@ def main(argv=None) -> int:
                         "auto-detect from the cluster environment)")
     r.add_argument("--num-processes", type=int, default=None)
     r.add_argument("--process-id", type=int, default=None)
+    r.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="pin the jax backend (auto: the default platform)")
     r.set_defaults(fn=_reconstruct)
 
     c = sub.add_parser("convert", help="COLMAP sparse model -> scene folder")
@@ -100,6 +114,8 @@ def main(argv=None) -> int:
     c.add_argument("--theta0", type=float, default=1.0)
     c.add_argument("--top_k", type=int, default=20)
     c.add_argument("--min_shared", type=int, default=10)
+    c.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"])
     c.set_defaults(fn=_convert)
 
     args = p.parse_args(argv)

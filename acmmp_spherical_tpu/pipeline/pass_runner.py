@@ -128,16 +128,32 @@ def load_problem(
         # epipolar-rectified kernel; the per-problem host gate rejects
         # forward-motion / degenerate pairs (ops/rectify.host_rectifiable)
         from acmmp_spherical_tpu.ops.rectify import (
-            host_rectifiable, rect_comp_shape, rect_shape, rect_span_fits,
+            host_rectifiable, rect_comp_shape, rect_init_window, rect_shape,
         )
 
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
         rhw = rect_shape(ref_img.shape[0], ref_img.shape[1])
         if n_src and host_rectifiable(ref_cam, stacked, rhw):
+            iwin = rect_init_window(ref_cam, stacked, rhw,
+                                    min_scale=cfg.depth_min_scale,
+                                    max_scale=cfg.depth_max_scale)
             params = dataclasses.replace(
-                params, rect_ncc=True, rect_prescreen=True,
+                params, rect_ncc=True,
                 rect_comp_hw=rect_comp_shape(ref_cam, stacked, rhw),
-                rect_init=rect_span_fits(ref_cam, stacked, rhw))
+                rect_init=iwin > 0, rect_init_win=iwin or 384)
+    if not geom and ref_cam.model == "sphere" and (
+        cfg.rect_ncc == "on"
+        or (cfg.rect_ncc == "auto" and jax.default_backend() == "tpu")
+    ):
+        # spherical problems take the pole-rotated fast kernel whenever every
+        # pair has a usable baseline (ops/sphere_rect); the init eval stays
+        # exact (the full latitude-displacement span needs no window bound
+        # measurement yet -- ROADMAP)
+        from acmmp_spherical_tpu.ops.sphere_rect import sphere_rectifiable
+
+        stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
+        if n_src and sphere_rectifiable(ref_cam, stacked):
+            params = dataclasses.replace(params, rect_ncc=True)
     if geom:
         params = params.with_geom(multi_geometry)
 

@@ -109,10 +109,10 @@ def main() -> None:
     fast = jax.default_backend() == "tpu"
     rect = False
     comp_hw = None
-    rect_init = False
+    iwin = 0
     if fast:
         from acmmp_spherical_tpu.ops.rectify import (
-            host_rectifiable, rect_comp_shape, rect_shape, rect_span_fits,
+            host_rectifiable, rect_comp_shape, rect_init_window, rect_shape,
         )
 
         rhw = rect_shape(H, W)
@@ -120,13 +120,13 @@ def main() -> None:
         rect = host_rectifiable(cams[0], stacked, rhw)
         if rect:
             comp_hw = rect_comp_shape(cams[0], stacked, rhw)
-            rect_init = rect_span_fits(cams[0], stacked, rhw)
+            iwin = rect_init_window(cams[0], stacked, rhw)
     print(f"[bench] fast_ncc={fast} rect_ncc={rect} comp_hw={comp_hw} "
-          f"rect_init={rect_init}", file=sys.stderr)
+          f"init_win={iwin}", file=sys.stderr)
     params = dataclasses.replace(
         PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=fast,
-        rect_ncc=rect, rect_comp_hw=comp_hw, rect_init=rect_init,
-        rect_prescreen=rect,
+        rect_ncc=rect, rect_comp_hw=comp_hw, rect_init=iwin > 0,
+        rect_init_win=iwin or 384,
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(
@@ -180,6 +180,50 @@ def main() -> None:
     print(f"[bench] geom pass times: {['%.3f' % t for t in gtimes]}",
           file=sys.stderr)
 
+    # spherical operating point: equirect ring through the pole-rotated fast
+    # kernel (ops/sphere_rect) -- half the pixels of the pinhole point (a
+    # full-sphere frame at matching angular resolution)
+    from acmmp_spherical_tpu.core.camera import SPHERE
+    from acmmp_spherical_tpu.ops.sphere_rect import sphere_rectifiable
+    from acmmp_spherical_tpu.utils.synthetic import render_scene as _render
+
+    if small or jax.default_backend() != "tpu":
+        Ws, Hs, ns = 128, 64, 3
+    else:
+        Ws, Hs, ns = 1024, 512, 6
+    scams = make_ring_of_cameras(1 + ns, model=SPHERE, width=Ws, height=Hs)
+    scache = f"/tmp/acmmp_bench_sphere_{Ws}x{Hs}x{ns}.npz"
+    try:
+        sdata = np.load(scache)
+        simages = sdata["images"]
+    except Exception:
+        simages, sdepth, _ = _render(scams, scene, Ws, Hs)
+        try:
+            np.savez(scache, images=simages, depths=sdepth)
+        except Exception:
+            pass
+    srect = fast and sphere_rectifiable(scams[0], stack_cameras(scams[1:]))
+    sparams = dataclasses.replace(
+        PatchMatchParams().with_depth_range(*np.asarray(scams[0].depth_range)),
+        rect_ncc=srect,
+    )
+    simages_d = jax.device_put(jnp.asarray(simages))
+    sinputs = PatchMatchInputs(
+        ref_image=simages_d[0], src_images=simages_d[1:], ref_cam=scams[0],
+        src_cams=stack_cameras(scams[1:]), src_valid=jnp.ones(ns, bool),
+    )
+    sout = run_patchmatch(sinputs, sparams, jax.random.key(0))
+    jax.block_until_ready(sout)
+    stimes = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        sout = run_patchmatch(sinputs, sparams, jax.random.key(r + 1))
+        jax.block_until_ready(sout)
+        stimes.append(time.perf_counter() - t0)
+    sbest = min(stimes)
+    print(f"[bench] sphere rect={srect} pass times: "
+          f"{['%.3f' % t for t in stimes]}", file=sys.stderr)
+
     value = 1.0 / best
     print(json.dumps({
         "metric": "depth_maps_per_s_per_chip",
@@ -188,6 +232,8 @@ def main() -> None:
         "vs_baseline": round(value / BASELINE_PASSES_PER_S, 4),
         "geom_value": round(1.0 / gbest, 4),
         "geom_unit": f"{W}x{H}x{n_src}src geometric passes/s",
+        "sphere_value": round(1.0 / sbest, 4),
+        "sphere_unit": f"{Ws}x{Hs}x{ns}src spherical photometric passes/s",
     }))
 
 

@@ -43,9 +43,15 @@ def test_multiscale_pyramid_pipeline(tmp_path):
     assert np.mean(dist < 0.08) > 0.9
 
 
-def test_sphere_pipeline_e2e(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("rect", ["off", "on"])
+def test_sphere_pipeline_e2e(tmp_path, rect):
     """Spherical end-to-end: equirectangular views to fused cloud, exercising
-    longitude wrap in sampling, propagation and the angular bilateral metric."""
+    longitude wrap in sampling, propagation and the angular bilateral metric.
+    ``rect="on"`` routes photometric/hierarchy passes through the
+    pole-rotated fast kernel (ops/sphere_rect, interpret mode on CPU)."""
     scene = CubeRoom()
     W, H, n = 128, 64, 4
     cams = make_ring_of_cameras(n, model=SPHERE, width=W, height=H)
@@ -53,7 +59,7 @@ def test_sphere_pipeline_e2e(tmp_path):
     root = tmp_path / "dense"
     write_synthetic_scene_to_disk(root, cams, images)
 
-    cfg = PipelineConfig()
+    cfg = PipelineConfig(rect_ncc=rect)
     n_points = run_pipeline(root, cfg)
 
     sp = ScenePaths(root)

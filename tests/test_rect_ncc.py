@@ -144,3 +144,23 @@ def test_rect_comp_grid_matches_full_frame(setup):
     c_bbox = np.asarray(rect_batched_ncc(rect_b, normals, ws, params,
                                          interpret=True))
     np.testing.assert_allclose(c_bbox, c_full, rtol=1e-5, atol=1e-5)
+
+
+def test_rect_wide_window_matches_default(setup):
+    """rect_win_w=512 (the init window for wide-span scenes) returns the same
+    costs as the default 384 window wherever both windows cover the taps."""
+    import dataclasses
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    normals = jnp.stack([n_cam])
+    ws = jnp.stack([w])
+    c384 = np.asarray(rect_batched_ncc(rect, normals, ws, params,
+                                       interpret=True))
+    p512 = dataclasses.replace(params, rect_win_w=512)
+    c512 = np.asarray(rect_batched_ncc(rect, normals, ws, p512,
+                                       interpret=True))
+    both = (c384 < params.cost_max - 1e-3) & (c512 < params.cost_max - 1e-3)
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(c512[both], c384[both], rtol=1e-5, atol=1e-5)
+    # the wider window can only ADD coverage
+    assert ((c512 < params.cost_max - 1e-3) | ~both).all()

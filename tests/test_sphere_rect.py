@@ -1,0 +1,109 @@
+"""Pole-rotated spherical fast path: behavioral gates (interpret mode).
+
+Mirrors tests/test_rect_ncc.py for SPHERE problems: GT planes must score
+near-zero, wrong planes clearly higher, rankings must agree with the exact
+sphere path, and a full PatchMatch pass on the spherical golden must match
+the exact path's accuracy.  Reference sphere branches: ACMMP.cu:425-486.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acmmp_spherical_tpu.config import PatchMatchParams
+from acmmp_spherical_tpu.core import geometry as G
+from acmmp_spherical_tpu.core.camera import SPHERE, stack_cameras
+from acmmp_spherical_tpu.ops.ncc import multiview_ncc, ref_tap_context
+from acmmp_spherical_tpu.ops.sampling import grid_coords
+from acmmp_spherical_tpu.ops.sphere_rect import (
+    build_sphere_rect_context, sphere_batched_ncc, sphere_rectifiable,
+)
+from acmmp_spherical_tpu.utils.synthetic import (
+    CubeRoom, make_ring_of_cameras, render_scene,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = CubeRoom()
+    W, H, n = 256, 128, 4
+    cams = make_ring_of_cameras(n, model=SPHERE, width=W, height=H)
+    images, depths, normals = render_scene(cams, scene, W, H)
+    images = jnp.asarray(images)
+    ref_cam = cams[0]
+    src_cams = stack_cameras(cams[1:])
+    params = PatchMatchParams()
+    xs, ys = grid_coords(H, W)
+    n_cam = G.normal_world_to_cam(ref_cam, jnp.asarray(normals[0]))
+    w = G.dist_to_origin(ref_cam, xs, ys, jnp.asarray(depths[0]), n_cam)
+    dmin, dmax = ref_cam.depth_range[0], ref_cam.depth_range[1]
+    assert sphere_rectifiable(ref_cam, src_cams)
+    ctx = build_sphere_rect_context(images[0], images[1:], ref_cam, src_cams,
+                                    (dmin, dmax))
+    return images, depths, ref_cam, src_cams, params, n_cam, w, ctx, (H, W)
+
+
+def test_sphere_ncc_scores_gt_low_and_wrong_high(setup):
+    images, depths, ref_cam, src_cams, params, n_cam, w, ctx, (H, W) = setup
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.35])
+    cost = np.asarray(sphere_batched_ncc(ctx, normals, ws, params,
+                                         interpret=True))
+    assert cost.shape == (2, 3, H, W)
+    good = cost[0]
+    badf = cost[1]
+    valid = good < params.cost_max - 1e-3
+    # every pair masks its own polar caps, so per-view coverage is partial
+    # but must still be substantial
+    assert valid.mean() > 0.5, valid.mean()
+    assert np.median(good[valid]) < 0.15, np.median(good[valid])
+    assert np.mean(badf) > 2.0 * np.mean(good) and np.mean(badf) > 0.15
+
+
+def test_sphere_ncc_agrees_with_exact_ranking(setup):
+    images, depths, ref_cam, src_cams, params, n_cam, w, ctx, (H, W) = setup
+    ctx_ref = ref_tap_context(images[0], ref_cam, params)
+    w2 = w * 1.2
+    exact0 = np.asarray(multiview_ncc(images[1:], src_cams, ref_cam, n_cam, w,
+                                      ctx_ref, params))
+    exact1 = np.asarray(multiview_ncc(images[1:], src_cams, ref_cam, n_cam,
+                                      w2, ctx_ref, params))
+    cost = np.asarray(sphere_batched_ncc(
+        ctx, jnp.stack([n_cam, n_cam]), jnp.stack([w, w2]), params,
+        interpret=True))
+    r0, r1 = cost[0], cost[1]
+    e0, e1 = exact0, exact1
+    ok = (r0 < params.cost_max - 1e-3) & (r1 < params.cost_max - 1e-3) \
+        & (e0 < params.cost_max - 1e-3) & (e1 < params.cost_max - 1e-3)
+    margin = np.abs(e0 - e1) > 0.05
+    sel = ok & margin
+    assert sel.mean() > 0.15, sel.mean()
+    agree = ((r0 < r1) == (e0 < e1))[sel]
+    assert agree.mean() > 0.85, agree.mean()
+    assert np.median(np.abs(r0 - e0)[ok]) < 0.12
+
+
+def test_sphere_full_pass_quality(setup):
+    """Full PatchMatch pass with the spherical fast kernel (interpret mode)
+    reaches the exact path's accuracy on the spherical golden."""
+    from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
+    from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, ctx, (H, W) = setup
+    dr = jnp.asarray(np.asarray(ref_cam.depth_range), jnp.float32)
+    inputs = PatchMatchInputs(
+        ref_image=images[0], src_images=images[1:], ref_cam=ref_cam,
+        src_cams=src_cams, src_valid=jnp.ones(3, bool), depth_range=dr,
+    )
+    rparams = dataclasses.replace(params, rect_ncc=True)
+    d, _, cost, _ = run_patchmatch(inputs, rparams, jax.random.key(0))
+    d = np.asarray(d)
+    gt = depths[0]
+    rel = np.abs(d - gt) / gt
+    # equirect frames wrap in x; exclude only the polar rows of the ORIGINAL
+    # frame (sphere-camera ray density degenerates there for any method)
+    band = np.s_[H // 8: -H // 8, :]
+    assert np.median(rel[band]) < 0.02, np.median(rel[band])
