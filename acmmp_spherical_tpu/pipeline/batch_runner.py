@@ -116,6 +116,36 @@ def _make_chunk(g, n_dev) -> _Chunk:
     return _Chunk(indices=list(idxs), lps=lps, params=params)
 
 
+def _prefetched(it, lookahead: int = 1):
+    """Overlap host-side chunk loading (image/dmb IO, rescale, packing) with
+    the previous chunk's device execution: the next chunk is materialised on
+    a worker thread while the main thread blocks on device results.  The
+    reference serialises these (main.cpp:431-446)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=lookahead)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface loader errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def run_pass_batched(
     sp: ScenePaths,
     problems: Sequence[Problem],
@@ -138,8 +168,9 @@ def run_pass_batched(
         mesh = make_view_mesh()
     base_key = jax.random.key(cfg.seed if seed is None else seed)
 
-    for chunk in _chunks(sp, problems, order, cfg, mesh, geom=geom,
-                         multi_geometry=multi_geometry):
+    for chunk in _prefetched(_chunks(sp, problems, order, cfg, mesh,
+                                     geom=geom,
+                                     multi_geometry=multi_geometry)):
         params = chunk.params
         if hierarchy:
             params = params.with_hierarchy()
