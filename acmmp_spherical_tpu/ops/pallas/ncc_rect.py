@@ -61,10 +61,17 @@ REF_WIN_W = 384   # 128-aligned static cols covering dx span
 SRC_WIN_W = 384
 
 
-def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
-                 out_ref, refwin, srcwin, wgt_ref, wr_ref, wrr_ref, sem_r,
-                 sem_s,
-                 *, params: PatchMatchParams, n_cand: int):
+def _rect_kernel(srow_ref, ref_ref, src_ref, *rest,
+                 params: PatchMatchParams, n_cand: int,
+                 with_geom: bool = False):
+    if with_geom:
+        (sdisp_ref, d_ref, a_ref, b_ref, v_ref, out_ref, gout_ref,
+         refwin, srcwin, dwin, wgt_ref, wr_ref, wrr_ref,
+         sem_r, sem_s, sem_d) = rest
+    else:
+        (d_ref, a_ref, b_ref, v_ref, out_ref,
+         refwin, srcwin, wgt_ref, wr_ref, wrr_ref, sem_r, sem_s) = rest
+        sdisp_ref = gout_ref = dwin = sem_d = None
     SRC_WIN_W = params.rect_win_w or 384
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -73,6 +80,9 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
     C = n_cand
 
     out_ref[:, 0] = jnp.full((C, TILE_H, TILE_W), cost_max, jnp.float32)
+    if with_geom:
+        gout_ref[:, 0] = jnp.full((C, TILE_H, TILE_W), params.geom_max_cost,
+                                  jnp.float32)
 
     valid = v_ref[0] > 0.5
     tile_live = jnp.max(v_ref[0]) > 0.5
@@ -119,6 +129,12 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
                 src_ref.at[s, pl.ds(y0, WIN_H), pl.ds(xs0, SRC_WIN_W)],
                 srcwin.at[slot], sem_s.at[slot])
 
+        def disp_copy(c, cmin, slot):
+            xs0 = pl.multiple_of(cmin + PAD_X, TILE_W)
+            return pltpu.make_async_copy(
+                sdisp_ref.at[s, pl.ds(y0, WIN_H), pl.ds(xs0, SRC_WIN_W)],
+                dwin.at[slot], sem_d.at[slot])
+
         origins = [window_origin(d_ref[c, 0]) for c in range(C)]
         cmins = [o[0] for o in origins]
         # per-candidate chunk liveness: a chunk is dead when no clipped
@@ -135,6 +151,8 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
                 for cidx in range(SRC_WIN_W // TILE_W)
             ])
         src_copy(0, cmins[0], 0).start()
+        if with_geom:
+            disp_copy(0, cmins[0], 0).start()
 
         inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
         inv_2sc = 1.0 / (2.0 * params.sigma_color * params.sigma_color)
@@ -195,8 +213,12 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
         for c in range(C):
             slot = c % 2
             src_copy(c, cmins[c], slot).wait()
+            if with_geom:
+                disp_copy(c, cmins[c], slot).wait()
             if c + 1 < C:
                 src_copy(c + 1, cmins[c + 1], 1 - slot).start()
+                if with_geom:
+                    disp_copy(c + 1, cmins[c + 1], 1 - slot).start()
 
             D = d_ref[c, 0]
             A = a_ref[c, 0]
@@ -252,8 +274,29 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, d_ref, a_ref, b_ref, v_ref,
                    | ~center_ok)
             out_ref[c, 0] = jnp.where(bad, cost_max, cost)
 
+            if with_geom:
+                # fused geometric-consistency cost: in rectified frames the
+                # reference's forward-backward reprojection (ACMMP.cu:646-671)
+                # collapses to the 1D disparity mismatch at the centre tap --
+                # |disp(candidate) - disp implied by the source's stored
+                # depth| -- converted to original pixels by srow[4]
+                gmax = params.geom_max_cost
+                dval = sent
+                for cidx in range(n_chunks):
+                    i0 = jnp.clip(rel_c - cidx * TILE_W, 0, TILE_W - 1)
+                    selc = ((rel_c >= cidx * TILE_W)
+                            & (rel_c < (cidx + 1) * TILE_W))
+                    v0 = jnp.take_along_axis(
+                        dwin[slot, 8:16, cidx * TILE_W:(cidx + 1) * TILE_W],
+                        i0, axis=1, mode="promise_in_bounds")
+                    dval = jnp.where(selc, v0, dval)
+                err = jnp.abs(D - dval) * srow_ref[0, 0, 4]
+                gok = center_ok & (dval > SENTINEL_THRESH)
+                gout_ref[c, 0] = jnp.where(gok, jnp.minimum(gmax, err), gmax)
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "interpret", "with_geom"))
 def rect_batched_ncc(
     rect: RectContext,
     normals: jax.Array,    # (C, H, W, 3) candidate plane normals (ref-cam)
@@ -261,7 +304,8 @@ def rect_batched_ncc(
     params: PatchMatchParams,
     *,
     interpret: bool = False,
-) -> jax.Array:
+    with_geom: bool = False,  # also emit the fused geom cost -> (cv, gv)
+):
     """Evaluate C candidate plane fields against S sources -> (C, S, H, W).
 
     XLA pre-step: per-pair affine coefficients (A, B, cterm) are computed on
@@ -309,53 +353,81 @@ def rect_batched_ncc(
     finite = jnp.isfinite(D) & (jnp.abs(D) < 1e8) & (rect.fwd_valid[None] > 0.5)
     D = jnp.where(finite, D, -1e9)                # coverage-rejected
 
+    sdisp = rect.rect_sdisp if with_geom else None
     return run_rect_kernel(rect.srow, rect.rect_ref, rect.rect_src, D, A, B,
                            rect.fwd_valid, rect.bwd_idx, rect.bwd_valid,
-                           params, out_hw=(H, W), interpret=interpret)
+                           params, out_hw=(H, W), interpret=interpret,
+                           rect_sdisp=sdisp)
 
 
 def run_rect_kernel(srow, rect_ref, rect_src, D, A, B, fwd_valid, bwd_idx,
                     bwd_valid, params: PatchMatchParams, *, out_hw,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False, rect_sdisp=None):
     """pallas_call + cost back-mapping shared by the pinhole wrapper above
     and the spherical wrapper (ops/pallas/ncc_sphere.py): the kernel itself
     only consumes per-pixel affine displacement fields (D, A, B) plus the
     warped row-aligned frames, so both geometries drive the same kernel."""
     C, S, Hr, Wr = D.shape
     H, W = out_hw
+    with_geom = rect_sdisp is not None
     r = params.patch_size // 2
     n_taps = len(range(-r, r + 1, params.radius_increment)) ** 2
-    kernel = functools.partial(_rect_kernel, params=params, n_cand=C)
+    kernel = functools.partial(_rect_kernel, params=params, n_cand=C,
+                               with_geom=with_geom)
     ty, tx = Hr // TILE_H, Wr // TILE_W
+    win_w = params.rect_win_w or 384
     cdab = lambda: pl.BlockSpec((C, 1, TILE_H, TILE_W),
                                 lambda s, i, j: (0, s, i, j))
-    cost_rect = pl.pallas_call(
+    cout = lambda: pl.BlockSpec((C, 1, TILE_H, TILE_W),
+                                lambda s, i, j: (0, s, i, j))
+    in_specs = [
+        pl.BlockSpec((1, 1, 128), lambda s, i, j: (s, 0, 0)),      # srow
+        pl.BlockSpec(memory_space=pltpu.ANY),                      # ref
+        pl.BlockSpec(memory_space=pltpu.ANY),                      # src
+    ]
+    operands = [srow[:, None, :], rect_ref, rect_src]
+    if with_geom:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))      # sdisp
+        operands.append(rect_sdisp)
+    in_specs += [
+        cdab(), cdab(), cdab(),                                    # D A B
+        pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j)),
+    ]
+    operands += [D, A, B, fwd_valid]
+    out_shape = jax.ShapeDtypeStruct((C, S, Hr, Wr), jnp.float32)
+    scratch = [
+        pltpu.VMEM((WIN_H, REF_WIN_W), jnp.float32),
+        pltpu.VMEM((2, WIN_H, win_w), jnp.float32),
+    ]
+    if with_geom:
+        scratch.append(pltpu.VMEM((2, WIN_H, win_w), jnp.float32))  # disp win
+    scratch += [
+        pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt / tap
+        pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt*ref / tap
+        pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt*ref^2
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if with_geom:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    outs = pl.pallas_call(
         kernel,
         grid=(S, ty, tx),
-        in_specs=[
-            pl.BlockSpec((1, 1, 128), lambda s, i, j: (s, 0, 0)),      # srow
-            pl.BlockSpec(memory_space=pltpu.ANY),                      # ref
-            pl.BlockSpec(memory_space=pltpu.ANY),                      # src
-            cdab(), cdab(), cdab(),                                    # D A B
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j)),
-        ],
-        out_specs=pl.BlockSpec((C, 1, TILE_H, TILE_W),
-                               lambda s, i, j: (0, s, i, j)),
-        out_shape=jax.ShapeDtypeStruct((C, S, Hr, Wr), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((WIN_H, REF_WIN_W), jnp.float32),
-            pltpu.VMEM((2, WIN_H, params.rect_win_w or 384), jnp.float32),
-            pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt / tap
-            pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt*ref / tap
-            pltpu.VMEM((n_taps, TILE_H, TILE_W), jnp.float32),  # wgt*ref^2
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=[cout(), cout()] if with_geom else cout(),
+        out_shape=[out_shape, out_shape] if with_geom else out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(srow[:, None, :], rect_ref, rect_src, D, A, B, fwd_valid)
+    )(*operands)
 
     # ---- map the cost planes back to the original grid --------------------
-    back = cost_rect.reshape(C, S, Hr * Wr).transpose(1, 2, 0)   # (S, HrWr, C)
-    picked = jax.vmap(lambda t, idx: t[idx])(back, bwd_idx)      # (S, HW, C)
-    cost = picked.transpose(2, 0, 1).reshape(C, S, H, W)
-    return jnp.where(bwd_valid[None], cost, params.cost_max)
+    def backmap(plane, fill):
+        back = plane.reshape(C, S, Hr * Wr).transpose(1, 2, 0)  # (S, HrWr, C)
+        picked = jax.vmap(lambda t, idx: t[idx])(back, bwd_idx)
+        out = picked.transpose(2, 0, 1).reshape(C, S, H, W)
+        return jnp.where(bwd_valid[None], out, fill)
+
+    if with_geom:
+        return (backmap(outs[0], params.cost_max),
+                backmap(outs[1], params.geom_max_cost))
+    return backmap(outs, params.cost_max)

@@ -103,7 +103,7 @@ def prepare_inputs(inputs: "PatchMatchInputs",
         )(inputs.src_images, inputs.src_cams.width, inputs.src_cams.height)
         inputs = inputs._replace(src_packed=packed)
     if (params is not None and params.rect_ncc and inputs.rect is None
-            and not params.planar_prior and not params.geom_consistency):
+            and not params.planar_prior):
         dr = _depth_range(inputs, params)
         if (inputs.ref_cam.model == PINHOLE
                 and inputs.src_cams.model == PINHOLE):
@@ -113,8 +113,12 @@ def prepare_inputs(inputs: "PatchMatchInputs",
                 inputs.ref_image, inputs.src_images, inputs.ref_cam,
                 inputs.src_cams, dr, src_packed=inputs.src_packed,
                 comp_hw=params.rect_comp_hw,
+                src_depths=(inputs.src_depths
+                            if params.geom_consistency else None),
             )
             inputs = inputs._replace(rect=rect)
+        elif (params.geom_consistency):
+            pass  # sphere geom passes keep the exact path (ROADMAP)
         elif (inputs.ref_cam.model == SPHERE
                 and inputs.src_cams.model == SPHERE):
             from acmmp_spherical_tpu.ops.sphere_rect import (
@@ -211,20 +215,23 @@ def _geom_vec(inputs, normal, w, xs, ys, params):
 
 def _use_rect(inputs, params, allow_fast=True):
     """Rectified-kernel eligibility: photometric/hierarchy passes on
-    rectifiable pinhole problems or pole-rotatable spherical problems.
-    Prior and geom passes keep the windowed/exact paths (their extra cost
-    terms ride those)."""
+    rectifiable pinhole problems or pole-rotatable spherical problems, and
+    pinhole GEOM passes when the context carries the warped source
+    disparities (the fused 1D-mismatch geom term).  Prior passes and sphere
+    geom passes keep the windowed/exact paths."""
     from acmmp_spherical_tpu.core.camera import PINHOLE
 
-    return (
+    ok = (
         params.rect_ncc
         and allow_fast
         and inputs.rect is not None
         and not params.planar_prior
-        and not params.geom_consistency
         and inputs.ref_cam.model == inputs.src_cams.model
         and inputs.ref_cam.model in (PINHOLE, SPHERE)
     )
+    if ok and params.geom_consistency:
+        return getattr(inputs.rect, "rect_sdisp", None) is not None
+    return ok
 
 
 def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
@@ -236,8 +243,9 @@ def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
     batch in one kernel invocation (the plane gather amortises over C).
     """
     if _use_rect(inputs, params):
-        # rect mode excludes geom passes (_use_rect), so gv is always None
         interpret = jax.default_backend() != "tpu"
+        geom_on = params.geom_consistency and inputs.src_depths is not None
+        gv = None
         if inputs.ref_cam.model == SPHERE:
             from acmmp_spherical_tpu.ops.sphere_rect import sphere_batched_ncc
 
@@ -248,8 +256,9 @@ def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
                 rect_batched_ncc,
             )
 
-            cv = rect_batched_ncc(inputs.rect, normals, ws, params,
-                                  interpret=interpret)
+            out = rect_batched_ncc(inputs.rect, normals, ws, params,
+                                   interpret=interpret, with_geom=geom_on)
+            cv, gv = out if geom_on else (out, None)
         for i in exact_idx:
             cvi = multiview_ncc(
                 inputs.src_images, inputs.src_cams, inputs.ref_cam,
@@ -259,7 +268,10 @@ def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
             cv = cv.at[i].set(cvi)
         cv = jnp.where(inputs.src_valid[None, :, None, None], cv,
                        params.cost_max)
-        return cv, None
+        if gv is not None:
+            gv = jnp.where(inputs.src_valid[None, :, None, None], gv,
+                           params.geom_max_cost)
+        return cv, gv
     if not exact_idx:
         return jax.lax.map(
             lambda nw: _cost_and_geom(inputs, ctx, nw[0], nw[1], params),
@@ -622,7 +634,8 @@ def _halfstep_core(
     # mode the 8 candidates AND the current plane (step 5) are evaluated in
     # ONE batched kernel invocation: the plane gather amortises over C=9.
     prescreen = (_use_rect(inputs, params) and params.rect_prescreen
-                 and not params.planar_prior)
+                 and not params.planar_prior
+                 and not params.geom_consistency)
     if prescreen:
         # two-stage (config.rect_prescreen): coarse-tap ranking of the 8
         # propagation candidates; winner + current get the full-tap eval in
@@ -638,9 +651,11 @@ def _halfstep_core(
     elif _use_rect(inputs, params):
         all_n = jnp.concatenate([cands.normal, cur_normal[None]], axis=0)
         all_w = jnp.concatenate([cands.w, cur_w[None]], axis=0)
-        cv_all, _ = _batched_cost_vectors(inputs, ctx, params, all_n, all_w)
-        cost_arrays, geom_arrays = cv_all[:8], None
-        now_vecs = (cv_all[8], None)
+        cv_all, gv_all = _batched_cost_vectors(inputs, ctx, params,
+                                               all_n, all_w)
+        cost_arrays = cv_all[:8]
+        geom_arrays = None if gv_all is None else gv_all[:8]
+        now_vecs = (cv_all[8], None if gv_all is None else gv_all[8])
     else:
         cost_arrays, geom_arrays = jax.lax.map(
             lambda nw: _cost_and_geom(inputs, ctx, nw[0], nw[1], params),

@@ -229,6 +229,7 @@ class PairRect(NamedTuple):
     H0: jax.Array        # (S, 3, 3) original ref pixel -> rectified pixel
     H0inv: jax.Array     # (S, 3, 3)
     H1inv: jax.Array     # (S, 3, 3) rectified pixel -> original src pixel
+    R_sr: jax.Array      # (S, 3, 3) src-cam frame -> rectified frame rotation
     scale: jax.Array     # (S,) resolution scale f_rect / f_ref (diagnostic)
 
 
@@ -334,7 +335,8 @@ def build_pair_rect(ref_cam: Camera, src_cams: Cameras,
         H0inv = _mm(ref_cam.K, R_rr.T, Kminv)
         H1inv = _mm(src.K, R_sr.T, Kminv)
         return PairRect(R_rr=R_rr, K=jnp.stack([f, cx, cy]), baseline=bnorm,
-                        H0=H0, H0inv=H0inv, H1inv=H1inv, scale=f / f0)
+                        H0=H0, H0inv=H0inv, H1inv=H1inv, R_sr=R_sr,
+                        scale=f / f0)
 
     S = src_cams.t.shape[0]
     return jax.vmap(
@@ -429,7 +431,16 @@ class RectContext(NamedTuple):
     bwd_valid: jax.Array  # (S, H, W) bool
     srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi (window guard),
                           # [2]=oy, [3]=ox ((8,128)-aligned compute-grid
-                          # offset into the storage frame)
+                          # offset into the storage frame), [4]=orig px per
+                          # rect px (geom-error scale, f_ref / f_rect)
+    rect_sdisp: "jax.Array | None" = None
+                          # (S, Hp, Wp) per-pair warped source depth maps
+                          # stored as the IMPLIED RECT DISPARITY f*B/z_rect
+                          # (SENTINEL where no/invalid source depth) for the
+                          # fused geometric-consistency term: in rectified
+                          # frames the reference's forward-backward
+                          # reprojection error (ACMMP.cu:646-671) is exactly
+                          # the 1D disparity mismatch |disp_cand - disp_src|
 
 
 def build_rect_context(
@@ -442,6 +453,8 @@ def build_rect_context(
                                           # warps use their own 16-wide pack)
     comp_hw: tuple[int, int] | None = None,  # static compute-grid size
                                              # (rect_comp_shape); None = full
+    src_depths: jax.Array | None = None,  # (S, Hp, Wp): also build rect_sdisp
+                                          # for geometric-consistency passes
 ) -> RectContext:
     """Build the per-pass rectified working set (all XLA; one per pass)."""
     from acmmp_spherical_tpu.ops.sampling import grid_coords, pack_bicubic
@@ -524,9 +537,44 @@ def build_rect_context(
     srow = srow.at[:, 1].set(fB / jnp.maximum(dmin, 1e-6) + 2.0)
     srow = srow.at[:, 2].set(off_y)
     srow = srow.at[:, 3].set(off_x)
+    srow = srow.at[:, 4].set(1.0 / jnp.maximum(pr.scale, 1e-6))
+
+    rect_sdisp = None
+    if src_depths is not None:
+        # warp each source depth map into its pair's rect frame as the
+        # implied rect disparity f*B/z_rect (trunc-nearest lookup like the
+        # reference's depth reads, ACMMP.cu:657)
+        ys_r = jax.lax.broadcasted_iota(
+            jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 0) - PAD_Y
+        xs_r = jax.lax.broadcasted_iota(
+            jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 1) - PAD_X
+
+        def warp_disp(zmap, H1inv, R_sr, K_s, fB, wd, ht):
+            px, py, z = rect_coords(H1inv, xs_r, ys_r)
+            xi = px.astype(jnp.int32)          # C truncation
+            yi = py.astype(jnp.int32)
+            ok = (z > 0) & (px >= 0) & (xi < wd.astype(jnp.int32)) \
+                & (py >= 0) & (yi < ht.astype(jnp.int32))
+            wi = zmap.shape[1]
+            zs = zmap.reshape(-1)[jnp.clip(yi, 0, zmap.shape[0] - 1) * wi
+                                  + jnp.clip(xi, 0, wi - 1)]
+            # z in the rect frame: third row of R_sr applied to the src-cam
+            # point  z * K_s^-1 (px, py, 1)
+            u = (px.astype(jnp.float32) - K_s[0, 2]) / K_s[0, 0]
+            v = (py.astype(jnp.float32) - K_s[1, 2]) / K_s[1, 1]
+            z_rect = zs * (R_sr[2, 0] * u + R_sr[2, 1] * v + R_sr[2, 2])
+            disp = fB / jnp.maximum(z_rect, 1e-6)
+            return jnp.where(ok & (zs > 0) & (z_rect > 0), disp, SENTINEL)
+
+        fB_all = pr.K[:, 0] * pr.baseline
+        rect_sdisp = jax.vmap(warp_disp)(
+            src_depths, pr.H1inv, pr.R_sr, src_cams.K, fB_all,
+            src_cams.width, src_cams.height)
+
     return RectContext(pr=pr, rect_ref=rect_ref, rect_src=rect_src,
                        fwd_valid=fwd_valid, fwd_idx=fwd_idx,
-                       bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow)
+                       bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow,
+                       rect_sdisp=rect_sdisp)
 
 
 def host_rectifiable(ref_cam: Camera, src_cams: Cameras,

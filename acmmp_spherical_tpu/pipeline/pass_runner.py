@@ -120,13 +120,14 @@ def load_problem(
         and ref_cam.model == "pinhole"
     ):
         params = dataclasses.replace(params, fast_ncc=True)
-    if not geom and ref_cam.model == "pinhole" and (
+    if ref_cam.model == "pinhole" and (
         cfg.rect_ncc == "on"
         or (cfg.rect_ncc == "auto" and jax.default_backend() == "tpu")
     ):
-        # photometric/hierarchy passes on rectifiable problems take the
-        # epipolar-rectified kernel; the per-problem host gate rejects
-        # forward-motion / degenerate pairs (ops/rectify.host_rectifiable)
+        # photometric/hierarchy AND geometric passes on rectifiable problems
+        # take the epipolar-rectified kernel (geom passes fuse the 1D
+        # disparity-mismatch consistency term); the per-problem host gate
+        # rejects forward-motion / degenerate pairs
         from acmmp_spherical_tpu.ops.rectify import (
             host_rectifiable, rect_comp_shape, rect_init_window, rect_shape,
         )

@@ -30,3 +30,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-program memory between test modules.
+
+    The XLA CPU compiler segfaults after ~dozens of large program
+    compilations in one process (reproduced on the slow e2e suite, jax
+    backend_compile_and_load); dropping the executable cache between modules
+    keeps the process under the threshold.
+    """
+    yield
+    jax.clear_caches()

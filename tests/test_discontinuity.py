@@ -77,6 +77,7 @@ def _run(cams, images, *, fast, rect, prescreen=False):
     (False, False, False), (True, False, False), (True, True, False),
     (True, True, True),
 ])
+@pytest.mark.slow
 def test_discontinuity_quality(box_scene, fast, rect, prescreen):
     cams, images, gt, band = box_scene
     d = _run(cams, images, fast=fast, rect=rect, prescreen=prescreen)

@@ -18,6 +18,7 @@ from acmmp_spherical_tpu.utils.synthetic import (
 )
 
 
+@pytest.mark.slow
 def test_multiscale_pyramid_pipeline(tmp_path):
     """96px images with size_bound=48 -> 2 pyramid scales: exercises the
     coarse photometric pass, inter-scale JBU, hierarchy-seeded fine pass and
@@ -46,7 +47,14 @@ def test_multiscale_pyramid_pipeline(tmp_path):
 import pytest
 
 
-@pytest.mark.parametrize("rect", ["off", "on"])
+@pytest.mark.slow
+@pytest.mark.parametrize("rect", [
+    "off",
+    pytest.param("on", marks=pytest.mark.skipif(
+        not __import__("os").environ.get("ACMMP_E2E_RECT"),
+        reason="interpret-mode sphere kernel: ~10 min on CPU; run with "
+               "ACMMP_E2E_RECT=1 (verified green 2026-08-18)")),
+])
 def test_sphere_pipeline_e2e(tmp_path, rect):
     """Spherical end-to-end: equirectangular views to fused cloud, exercising
     longitude wrap in sampling, propagation and the angular bilateral metric.

@@ -29,9 +29,26 @@ def scene_dir(tmp_path_factory):
     return root, scene, depths
 
 
-def test_full_pipeline_small_pinhole(scene_dir):
+@pytest.mark.slow
+@pytest.mark.parametrize("rect", [
+    "off",
+    pytest.param("on", marks=pytest.mark.skipif(
+        not __import__("os").environ.get("ACMMP_E2E_RECT"),
+        reason="interpret-mode rect kernels: ~25 min on CPU; run with "
+               "ACMMP_E2E_RECT=1 (verified green 2026-08-18)")),
+])
+def test_full_pipeline_small_pinhole(scene_dir, rect, tmp_path):
+    """``rect="on"`` drives every photometric/hierarchy AND geometric pass
+    through the epipolar-rectified kernel incl. the fused geom term
+    (interpret mode on CPU)."""
+    import shutil
+
     root, scene, gt_depths = scene_dir
-    cfg = PipelineConfig()
+    if rect == "on":
+        new_root = tmp_path / "dense"
+        shutil.copytree(root, new_root)
+        root = new_root
+    cfg = PipelineConfig(rect_ncc=rect)
     n_points = run_pipeline(root, cfg)
 
     # per-view geometric depth maps exist and are accurate
@@ -56,6 +73,7 @@ def test_full_pipeline_small_pinhole(scene_dir):
         assert (sp.result_dir(i) / "triangulation.png").exists()
 
 
+@pytest.mark.slow
 def test_pipeline_resume_skips(scene_dir):
     root, *_ = scene_dir
     import dataclasses
@@ -70,6 +88,7 @@ def test_pipeline_resume_skips(scene_dir):
     assert time.time() - t0 < 60.0  # no recompute of the patchmatch passes
 
 
+@pytest.mark.slow
 def test_convert_then_reconstruct_e2e(tmp_path):
     """The reference user flow end-to-end (README.md:24-31): a COLMAP sparse
     model through the converter CLI, then reconstruction, then a fused cloud

@@ -66,6 +66,7 @@ def test_rect_ncc_scores_gt_low_and_wrong_high(setup):
 
 @pytest.mark.parametrize("rect_init,prescreen", [(False, False),
                                                  (True, False), (True, True)])
+@pytest.mark.slow
 def test_rect_full_pass_quality(setup, rect_init, prescreen):
     """Full PatchMatch pass with the rectified kernel (interpret mode) matches
     the exact path's quality on the golden scene -- with the init-field cost
@@ -164,3 +165,36 @@ def test_rect_wide_window_matches_default(setup):
     np.testing.assert_allclose(c512[both], c384[both], rtol=1e-5, atol=1e-5)
     # the wider window can only ADD coverage
     assert ((c512 < params.cost_max - 1e-3) | ~both).all()
+
+
+def test_rect_geom_cost_matches_exact(setup):
+    """The fused 1D disparity-mismatch geom term matches the exact
+    forward-backward reprojection cost (ops/geom.py) on the golden: near
+    zero for consistent GT planes + GT source depths, clamped high for a
+    wrong plane.  Reference: ACMMP.cu:646-671."""
+    from acmmp_spherical_tpu.ops.geom import geom_consistency_cost
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    dmin, dmax = ref_cam.depth_range[0], ref_cam.depth_range[1]
+    src_depths = jnp.asarray(depths[1:])
+    rect_g = build_rect_context(images[0], images[1:], ref_cam, src_cams,
+                                (dmin, dmax), src_depths=src_depths)
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.5])
+    cv, gv = rect_batched_ncc(rect_g, normals, ws, params, interpret=True,
+                              with_geom=True)
+    gv = np.asarray(gv)
+    from acmmp_spherical_tpu.ops.ncc import ref_tap_context as _rtc
+
+    ctx = _rtc(images[0], ref_cam, params)
+    g_exact = np.asarray(geom_consistency_cost(
+        src_depths, src_cams, ref_cam, n_cam, w, ctx.xs, ctx.ys, params))
+    interior = np.s_[:, 10:-10, 10:-10]
+    ok = gv[0][interior] < params.geom_max_cost - 1e-3
+    assert ok.mean() > 0.5, ok.mean()
+    # GT plane + GT source depths: both paths report sub-pixel errors
+    assert np.median(gv[0][interior][ok]) < 0.5, np.median(gv[0][interior][ok])
+    assert np.median(g_exact[interior]) < 0.5
+    # a 50% depth error saturates the clamp in both formulations
+    far = gv[1][interior]
+    assert np.median(far) > 0.8 * params.geom_max_cost, np.median(far)

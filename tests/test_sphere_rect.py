@@ -86,6 +86,7 @@ def test_sphere_ncc_agrees_with_exact_ranking(setup):
     assert np.median(np.abs(r0 - e0)[ok]) < 0.12
 
 
+@pytest.mark.slow
 def test_sphere_full_pass_quality(setup):
     """Full PatchMatch pass with the spherical fast kernel (interpret mode)
     reaches the exact path's accuracy on the spherical golden."""
