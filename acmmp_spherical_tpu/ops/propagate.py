@@ -117,8 +117,6 @@ def prepare_inputs(inputs: "PatchMatchInputs",
                             if params.geom_consistency else None),
             )
             inputs = inputs._replace(rect=rect)
-        elif (params.geom_consistency):
-            pass  # sphere geom passes keep the exact path (ROADMAP)
         elif (inputs.ref_cam.model == SPHERE
                 and inputs.src_cams.model == SPHERE):
             from acmmp_spherical_tpu.ops.sphere_rect import (
@@ -128,6 +126,8 @@ def prepare_inputs(inputs: "PatchMatchInputs",
             rect = build_sphere_rect_context(
                 inputs.ref_image, inputs.src_images, inputs.ref_cam,
                 inputs.src_cams, dr,
+                src_depths=(inputs.src_depths
+                            if params.geom_consistency else None),
             )
             inputs = inputs._replace(rect=rect)
     return inputs
@@ -249,8 +249,9 @@ def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
         if inputs.ref_cam.model == SPHERE:
             from acmmp_spherical_tpu.ops.sphere_rect import sphere_batched_ncc
 
-            cv = sphere_batched_ncc(inputs.rect, normals, ws, params,
-                                    interpret=interpret)
+            out = sphere_batched_ncc(inputs.rect, normals, ws, params,
+                                     interpret=interpret, with_geom=geom_on)
+            cv, gv = out if geom_on else (out, None)
         else:
             from acmmp_spherical_tpu.ops.pallas.ncc_rect import (
                 rect_batched_ncc,

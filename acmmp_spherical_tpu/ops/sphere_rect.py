@@ -56,9 +56,15 @@ class SphereRectContext(NamedTuple):
     fwd_valid: jax.Array  # (S, Wt, Ht) float32 0/1
     bwd_idx: jax.Array    # (S, H*W) int32: orig pixel -> compute flat idx
     bwd_valid: jax.Array  # (S, H, W) bool
-    srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi, [2]=[3]=0
+    srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi, [2]=[3]=0,
+                          # [4]=1 (geom-error scale: lane pixels and original
+                          # equirect pixels share the H/pi-per-radian scale)
     rays_cam: jax.Array   # (S, H, W, 3, 3) ref-cam rays of each orig pixel's
                           # claimed target at (+0, +1 lane, +1 row)
+    rect_sdisp: "jax.Array | None"
+                          # (S, Rp, Lp) per-pair warped source depth maps as
+                          # the IMPLIED LANE DISPLACEMENT (SENTINEL where
+                          # invalid) for the fused geom term
     slat: jax.Array       # (S, H, W, 3) sin(rotated lat) at those targets
     lat: jax.Array        # (S, H, W, 3) rotated lat (radians)
     baseline: jax.Array   # (S,)
@@ -97,6 +103,7 @@ def build_sphere_rect_context(
     src_cams: Cameras,
     depth_range,             # (dmin, dmax) traced scalars
     lat_cap_deg: float = LAT_CAP_DEG,
+    src_depths: jax.Array | None = None,  # (S, Hp, Wp): also build rect_sdisp
 ) -> SphereRectContext:
     """Build the per-pass pole-rotated working set (all XLA; one per pass)."""
     from acmmp_spherical_tpu.core import geometry as G
@@ -171,6 +178,36 @@ def build_sphere_rect_context(
                                   src_cams.width, src_cams.height,
                                   src_cams.params[:, 1], src_cams.params[:, 2])
 
+    rect_sdisp = None
+    if src_depths is not None:
+        # warp each source's depth map (RADIAL depth -- rotation-invariant)
+        # into its pair's rotated transposed frame as the IMPLIED LANE
+        # DISPLACEMENT: the exact inverse of the candidate mapping, so a
+        # consistent depth gives a zero disparity mismatch by construction
+        def warp_disp(zmap, Rr, Rl, wd, ht, pcx, pcy, B):
+            ray_cam = jnp.einsum("ji,...j->...i", Rr, ray_rot_g,
+                                 precision=_HI)
+            ray_s = jnp.einsum("ij,...j->...i", Rl, ray_cam, precision=_HI)
+            lat_i = -jnp.arcsin(jnp.clip(ray_s[..., 1], -1.0, 1.0))
+            lon_i = jnp.arctan2(ray_s[..., 0], ray_s[..., 2])
+            px = lon_i / (2.0 * PI) * wd + pcx
+            py = -lat_i / PI * ht + pcy
+            wi = zmap.shape[1]
+            xi = jnp.remainder(px.astype(jnp.int32),
+                               jnp.maximum(wd.astype(jnp.int32), 1))
+            yi = py.astype(jnp.int32)            # C truncation
+            ok = (py >= 0) & (yi < ht.astype(jnp.int32))
+            d_s = zmap.reshape(-1)[jnp.clip(yi, 0, zmap.shape[0] - 1) * wi
+                                   + jnp.clip(xi, 0, wi - 1)]
+            lat_r = jnp.arctan2(d_s * jnp.sin(lat_g) - B,
+                                d_s * jnp.cos(lat_g))
+            g = (lat_g - lat_r) * (H / PI)
+            return jnp.where(ok & (d_s > 0), g, -1.0e4)
+
+        rect_sdisp = jax.vmap(warp_disp)(
+            src_depths, R_rot, R_rel, src_cams.width, src_cams.height,
+            src_cams.params[:, 1], src_cams.params[:, 2], Bn)
+
     # ---- backward map: orig pixel -> transposed rotated pixel --------------
     xs, ys = grid_coords(H, W)
     ray_o = G.pixel_ray(ref_cam, xs, ys)           # (H, W, 3) unit
@@ -235,17 +272,23 @@ def build_sphere_rect_context(
     srow = srow.at[:, 0].set(jnp.min(sml.reshape(Bn.shape[0], -1), axis=1) - 2.0)
     srow = srow.at[:, 1].set(jnp.max(big.reshape(Bn.shape[0], -1), axis=1) + 2.0)
 
+    # lane pixels and original equirect pixels share the H/pi-per-radian
+    # scale, so the fused geom error needs no conversion
+    srow = srow.at[:, 4].set(1.0)
+
     return SphereRectContext(
         rect_ref=rect_ref, rect_src=rect_src, fwd_idx=fwd_idx,
         fwd_valid=fwd_valid, bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow,
-        rays_cam=rays_cam, slat=slat, lat=lat, baseline=Bn,
+        rays_cam=rays_cam, rect_sdisp=rect_sdisp, slat=slat, lat=lat,
+        baseline=Bn,
     )
 
 
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "interpret", "with_geom"))
 def sphere_batched_ncc(
     ctx: SphereRectContext,
     normals: jax.Array,    # (C, H, W, 3) plane normals (ref-cam frame)
@@ -253,7 +296,8 @@ def sphere_batched_ncc(
     params,
     *,
     interpret: bool = False,
-) -> jax.Array:
+    with_geom: bool = False,  # also emit the fused geom cost -> (cv, gv)
+):
     """Evaluate C candidate plane fields against S sources -> (C, S, H, W).
 
     XLA pre-step: for each original pixel's claimed target (and its +1 lane /
@@ -295,6 +339,8 @@ def sphere_batched_ncc(
     A = dab[..., 1].transpose(3, 0, 1, 2)
     Bc = dab[..., 2].transpose(3, 0, 1, 2)
     D = jnp.where(ctx.fwd_valid[None] > 0.5, D, -1e9)
+    sdisp = ctx.rect_sdisp if with_geom else None
     return run_rect_kernel(ctx.srow, ctx.rect_ref, ctx.rect_src, D, A, Bc,
                            ctx.fwd_valid, ctx.bwd_idx, ctx.bwd_valid, params,
-                           out_hw=(H, W), interpret=interpret)
+                           out_hw=(H, W), interpret=interpret,
+                           rect_sdisp=sdisp)

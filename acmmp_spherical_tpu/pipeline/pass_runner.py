@@ -142,14 +142,14 @@ def load_problem(
                 params, rect_ncc=True,
                 rect_comp_hw=rect_comp_shape(ref_cam, stacked, rhw),
                 rect_init=iwin > 0, rect_init_win=iwin or 384)
-    if not geom and ref_cam.model == "sphere" and (
+    if ref_cam.model == "sphere" and (
         cfg.rect_ncc == "on"
         or (cfg.rect_ncc == "auto" and jax.default_backend() == "tpu")
     ):
-        # spherical problems take the pole-rotated fast kernel whenever every
-        # pair has a usable baseline (ops/sphere_rect); the init eval stays
-        # exact (the full latitude-displacement span needs no window bound
-        # measurement yet -- ROADMAP)
+        # spherical problems (incl. geom passes: fused meridian disparity
+        # mismatch) take the pole-rotated fast kernel whenever every pair
+        # has a usable baseline (ops/sphere_rect); the init eval stays exact
+        # (no host window-span gate for sphere yet -- ROADMAP)
         from acmmp_spherical_tpu.ops.sphere_rect import sphere_rectifiable
 
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)

@@ -108,3 +108,36 @@ def test_sphere_full_pass_quality(setup):
     # frame (sphere-camera ray density degenerates there for any method)
     band = np.s_[H // 8: -H // 8, :]
     assert np.median(rel[band]) < 0.02, np.median(rel[band])
+
+
+def test_sphere_geom_cost(setup):
+    """The fused meridian disparity-mismatch geom term: near zero for GT
+    planes + GT source depths, clamped high for a wrong plane."""
+    images, depths, ref_cam, src_cams, params, n_cam, w, ctx, (H, W) = setup
+    dmin, dmax = ref_cam.depth_range[0], ref_cam.depth_range[1]
+    ctx_g = build_sphere_rect_context(images[0], images[1:], ref_cam,
+                                      src_cams, (dmin, dmax),
+                                      src_depths=jnp.asarray(depths[1:]))
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.5])
+    cv, gv = sphere_batched_ncc(ctx_g, normals, ws, params, interpret=True,
+                                with_geom=True)
+    gv = np.asarray(gv)
+    ok = gv[0] < params.geom_max_cost - 1e-3
+    assert ok.mean() > 0.4, ok.mean()
+    assert np.median(gv[0][ok]) < 0.7, np.median(gv[0][ok])
+    # the wrong plane's mismatch must agree with the exact forward-backward
+    # reprojection error (disparities are only a few px at this equirect
+    # resolution, so the clamp is not reached -- compare magnitudes instead)
+    from acmmp_spherical_tpu.ops.geom import geom_consistency_cost
+    from acmmp_spherical_tpu.ops.ncc import ref_tap_context as _rtc
+
+    ctx_ref = _rtc(images[0], ref_cam, params)
+    g_exact = np.asarray(geom_consistency_cost(
+        jnp.asarray(depths[1:]), src_cams, ref_cam, n_cam, w * 1.5,
+        ctx_ref.xs, ctx_ref.ys, params))
+    m_fused = np.median(gv[1][ok])
+    m_exact = np.median(g_exact[ok])
+    assert m_fused > 3.0 * np.median(gv[0][ok]), (m_fused,
+                                                  np.median(gv[0][ok]))
+    assert abs(m_fused - m_exact) < 0.5 + 0.3 * m_exact, (m_fused, m_exact)
