@@ -106,13 +106,18 @@ def _make_chunk(g, n_dev) -> _Chunk:
     params = plist[0]
     if any(p.rect_ncc != params.rect_ncc for p in plist):
         params = dataclasses.replace(params, rect_ncc=False,
-                                     rect_comp_hw=None)
+                                     rect_comp_hw=None, rect_init=False)
     elif params.rect_ncc:
-        # one static compute grid per chunk: the max bbox over its problems
+        # one static compute grid per chunk: the max bbox over its problems;
+        # the init window likewise maxes (wider only adds coverage), and
+        # rect_init holds only if EVERY problem's span fits its window
         hws = [p.rect_comp_hw for p in plist]
         hw = (None if any(h is None for h in hws)
               else (max(h[0] for h in hws), max(h[1] for h in hws)))
-        params = dataclasses.replace(params, rect_comp_hw=hw)
+        params = dataclasses.replace(
+            params, rect_comp_hw=hw,
+            rect_init=all(p.rect_init for p in plist),
+            rect_init_win=max(p.rect_init_win for p in plist))
     return _Chunk(indices=list(idxs), lps=lps, params=params)
 
 
