@@ -344,3 +344,40 @@ def sphere_batched_ncc(
                            ctx.fwd_valid, ctx.bwd_idx, ctx.bwd_valid, params,
                            out_hw=(H, W), interpret=interpret,
                            rect_sdisp=sdisp)
+
+
+def sphere_init_window(ref_cam: Camera, src_cams: Cameras, *,
+                       lat_cap_deg: float = LAT_CAP_DEG,
+                       min_scale: float = 1.0) -> int:
+    """Host-side: smallest static source window (384/512/640) covering the
+    full plausible lane-displacement span for every pair, or 0.
+
+    When nonzero, even a fresh random plane field evaluates with full tap
+    coverage and the init eval rides the kernel (PatchMatchParams.rect_init,
+    same contract as rectify.rect_init_window).  The displacement magnitude
+    is maximal at d = dmin; it is evaluated on a latitude grid per pair.
+    """
+    R0 = np.asarray(ref_cam.R, np.float64)
+    t0 = np.asarray(ref_cam.t, np.float64)
+    C0 = -R0.T @ t0
+    dmin = float(np.asarray(ref_cam.depth_range)[0]) * min_scale
+    H = float(np.asarray(ref_cam.height))
+    if not dmin > 0:
+        return 0
+    Rs = np.asarray(src_cams.R, np.float64)
+    ts = np.asarray(src_cams.t, np.float64)
+    cap = math.radians(lat_cap_deg)
+    lats = np.linspace(-cap, cap, 181)
+    span = 0.0
+    for s in range(Rs.shape[0]):
+        C1 = -Rs[s].T @ ts[s]
+        B = np.linalg.norm(C1 - C0)
+        if B < 1e-9:
+            return 0
+        disp = (np.arctan2(dmin * np.sin(lats) + B, dmin * np.cos(lats))
+                - lats) * (H / PI)
+        span = max(span, float(np.max(np.abs(disp))))
+    for win in (384, 512, 640):
+        if span + 4.0 <= win - 144:
+            return win
+    return 0

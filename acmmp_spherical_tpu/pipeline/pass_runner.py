@@ -148,13 +148,19 @@ def load_problem(
     ):
         # spherical problems (incl. geom passes: fused meridian disparity
         # mismatch) take the pole-rotated fast kernel whenever every pair
-        # has a usable baseline (ops/sphere_rect); the init eval stays exact
-        # (no host window-span gate for sphere yet -- ROADMAP)
-        from acmmp_spherical_tpu.ops.sphere_rect import sphere_rectifiable
+        # has a usable baseline (ops/sphere_rect); the init eval rides the
+        # kernel when the full span fits (sphere_init_window)
+        from acmmp_spherical_tpu.ops.sphere_rect import (
+            sphere_init_window, sphere_rectifiable,
+        )
 
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
         if n_src and sphere_rectifiable(ref_cam, stacked):
-            params = dataclasses.replace(params, rect_ncc=True)
+            iwin = sphere_init_window(ref_cam, stacked,
+                                      min_scale=cfg.depth_min_scale)
+            params = dataclasses.replace(
+                params, rect_ncc=True,
+                rect_init=iwin > 0, rect_init_win=iwin or 384)
     if geom:
         params = params.with_geom(multi_geometry)
 

@@ -87,7 +87,8 @@ def test_sphere_ncc_agrees_with_exact_ranking(setup):
 
 
 @pytest.mark.slow
-def test_sphere_full_pass_quality(setup):
+@pytest.mark.parametrize("rect_init", [False, True])
+def test_sphere_full_pass_quality(setup, rect_init):
     """Full PatchMatch pass with the spherical fast kernel (interpret mode)
     reaches the exact path's accuracy on the spherical golden."""
     from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
@@ -99,7 +100,15 @@ def test_sphere_full_pass_quality(setup):
         ref_image=images[0], src_images=images[1:], ref_cam=ref_cam,
         src_cams=src_cams, src_valid=jnp.ones(3, bool), depth_range=dr,
     )
-    rparams = dataclasses.replace(params, rect_ncc=True)
+    if rect_init:
+        from acmmp_spherical_tpu.ops.sphere_rect import sphere_init_window
+
+        iwin = sphere_init_window(ref_cam, src_cams)
+        assert iwin > 0
+    else:
+        iwin = 0
+    rparams = dataclasses.replace(params, rect_ncc=True, rect_init=iwin > 0,
+                                  rect_init_win=iwin or 384)
     d, _, cost, _ = run_patchmatch(inputs, rparams, jax.random.key(0))
     d = np.asarray(d)
     gt = depths[0]
