@@ -399,8 +399,11 @@ def initialize_state(
     # initial cost of a (possibly random) field: the exact path, unless the
     # rectified kernel's window covers the full disparity span (rect_init:
     # scattered fields then evaluate with full tap coverage, and the ratchet
-    # compares init and candidate costs on the SAME cost definition)
-    if _use_rect(inputs, params) and params.rect_init:
+    # compares init and candidate costs on the SAME cost definition).
+    # Seeded fields (geom/hierarchy passes) are tile-smooth like candidate
+    # fields, so they ride the kernel under the ordinary window guarantees.
+    seeded = params.geom_consistency or params.hierarchy
+    if _use_rect(inputs, params) and (params.rect_init or seeded):
         import dataclasses as _dc
 
         # the init window may be wider than the per-iteration one: a random

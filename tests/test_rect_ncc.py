@@ -198,3 +198,34 @@ def test_rect_geom_cost_matches_exact(setup):
     # a 50% depth error saturates the clamp in both formulations
     far = gv[1][interior]
     assert np.median(far) > 0.8 * params.geom_max_cost, np.median(far)
+
+
+@pytest.mark.slow
+def test_rect_geom_pass_quality(setup):
+    """Seeded geometric-consistency pass entirely on the rectified kernel
+    (fused geom term + kernel-evaluated seeded init, interpret mode):
+    quality matches the exact geom pass on the golden."""
+    import dataclasses
+
+    from acmmp_spherical_tpu.core import geometry as G2
+    from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
+    from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    dr = jnp.asarray(np.asarray(ref_cam.depth_range), jnp.float32)
+    seed_depth = jnp.asarray(depths[0] * (1.0 + 0.01 * np.sin(
+        np.arange(H * W).reshape(H, W))))       # near-GT noisy seed
+    seed_normal_world = G2.normal_cam_to_world(ref_cam, n_cam)
+    inputs = PatchMatchInputs(
+        ref_image=images[0], src_images=images[1:], ref_cam=ref_cam,
+        src_cams=src_cams, src_valid=jnp.ones(3, bool), depth_range=dr,
+        src_depths=jnp.asarray(depths[1:]),
+    )
+    for rect_on in (False, True):
+        p = dataclasses.replace(params, rect_ncc=rect_on).with_geom(False)
+        d, _, _, _ = run_patchmatch(inputs, p, jax.random.key(5),
+                                    seed_normal_world=seed_normal_world,
+                                    seed_depth=seed_depth)
+        rel = np.abs(np.asarray(d) - depths[0]) / depths[0]
+        med = np.median(rel[8:-8, 8:-8])
+        assert med < 0.01, (rect_on, med)
