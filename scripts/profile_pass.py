@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Component breakdown of one photometric pass at the bench operating point.
+
+Times (fenced with block_until_ready, best of reps):
+  * build_rect_context (per pass)
+  * initialize_state with rect_init (per pass)
+  * one 9-candidate rect_batched_ncc invocation (the propagation batch)
+  * one 6-candidate invocation (refinement batch incl. exact-idx none)
+  * one full checkerboard halfstep (all of the above + view selection)
+  * a full run_patchmatch pass (reference total)
+Optionally (--prescreen) also times a pass with rect_prescreen=True.
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def fence(f, *a, reps=3, **kw):
+    out = f(*a, **kw)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(*a, **kw)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prescreen", action="store_true")
+    ap.add_argument("--size", type=int, nargs=2, default=[1024, 768])
+    ap.add_argument("--views", type=int, default=8)
+    args = ap.parse_args()
+
+    from acmmp_spherical_tpu.config import PatchMatchParams
+    from acmmp_spherical_tpu.core.camera import stack_cameras
+    from acmmp_spherical_tpu.ops.propagate import (
+        PatchMatchInputs, checkerboard_halfstep, initialize_state,
+        prepare_inputs, _batched_cost_vectors,
+    )
+    from acmmp_spherical_tpu.ops.ncc import ref_tap_context
+    from acmmp_spherical_tpu.ops.rectify import (
+        build_rect_context, host_rectifiable, rect_comp_shape,
+        rect_init_window, rect_shape,
+    )
+    from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
+    from acmmp_spherical_tpu.utils.synthetic import (
+        CubeRoom, make_ring_of_cameras, render_scene,
+    )
+
+    W, H = args.size
+    n_src = args.views
+    scene = CubeRoom()
+    cams = make_ring_of_cameras(1 + n_src, width=W, height=H,
+                                focal=0.9 * W, radius=0.25)
+    cache = f"/tmp/acmmp_bench_scene_{W}x{H}x{n_src}.npz"
+    try:
+        data = np.load(cache)
+        images = data["images"]
+    except Exception:
+        images, _, _ = render_scene(cams, scene, W, H)
+        np.savez(cache, images=images, depths=_)
+
+    dmin, dmax = np.asarray(cams[0].depth_range)
+    rhw = rect_shape(H, W)
+    stacked = stack_cameras(cams[1:])
+    comp_hw = rect_comp_shape(cams[0], stacked, rhw)
+    iwin = rect_init_window(cams[0], stacked, rhw)
+    params = dataclasses.replace(
+        PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=True,
+        rect_ncc=True, rect_comp_hw=comp_hw, rect_init=iwin > 0,
+        rect_init_win=iwin or 384,
+        rect_prescreen=args.prescreen,
+    )
+    images_d = jax.device_put(jnp.asarray(images))
+    inputs = PatchMatchInputs(
+        ref_image=images_d[0], src_images=images_d[1:],
+        ref_cam=cams[0], src_cams=stacked,
+        src_valid=jnp.ones(n_src, bool),
+    )
+
+    # --- rect context build -------------------------------------------------
+    dr = (jnp.float32(dmin), jnp.float32(dmax))
+    build = jax.jit(lambda: build_rect_context(
+        inputs.ref_image, inputs.src_images, inputs.ref_cam, inputs.src_cams,
+        dr, comp_hw=comp_hw))
+    t_ctx, rect = fence(build)
+    print(f"build_rect_context: {t_ctx*1e3:8.1f} ms")
+
+    inputs2 = prepare_inputs(inputs, params)
+
+    # --- init ---------------------------------------------------------------
+    ctx = ref_tap_context(inputs.ref_image, cams[0], params)
+    init_fn = jax.jit(lambda k: initialize_state(inputs2, params, k, ctx=ctx))
+    t_init, state = fence(init_fn, jax.random.key(0))
+    print(f"initialize_state (rect_init={params.rect_init}): {t_init*1e3:8.1f} ms")
+
+    # --- one C=9 propagation-batch invocation -------------------------------
+    n9 = jnp.repeat(state.normal[None], 9, 0)
+    w9 = jnp.repeat(state.w[None], 9, 0)
+    inv9 = jax.jit(lambda n, w: _batched_cost_vectors(inputs2, ctx, params, n, w)[0])
+    t9, _ = fence(inv9, n9, w9)
+    print(f"rect_batched_ncc C=9: {t9*1e3:8.1f} ms")
+    n5, w5 = n9[:5], w9[:5]
+    inv5 = jax.jit(lambda n, w: _batched_cost_vectors(inputs2, ctx, params, n, w)[0])
+    t5, _ = fence(inv5, n5, w5)
+    print(f"rect_batched_ncc C=5: {t5*1e3:8.1f} ms")
+    n1, w1 = n9[:1], w9[:1]
+    inv1 = jax.jit(lambda n, w: _batched_cost_vectors(inputs2, ctx, params, n, w)[0])
+    t1, _ = fence(inv1, n1, w1)
+    print(f"rect_batched_ncc C=1: {t1*1e3:8.1f} ms")
+
+    # --- one halfstep -------------------------------------------------------
+    hs = jax.jit(lambda st, k: checkerboard_halfstep(
+        st, inputs2, ctx, params, k, jnp.int32(1), 0))
+    t_hs, _ = fence(hs, state, jax.random.key(1))
+    print(f"checkerboard_halfstep: {t_hs*1e3:8.1f} ms")
+
+    # --- full pass ----------------------------------------------------------
+    t_pass, _ = fence(lambda k: run_patchmatch(inputs, params, k),
+                      jax.random.key(2), reps=2)
+    print(f"full pass: {t_pass*1e3:8.1f} ms "
+          f"(6 halfsteps -> {6*t_hs*1e3:.0f} ms + init {t_init*1e3:.0f} + "
+          f"ctx {t_ctx*1e3:.0f})")
+
+
+if __name__ == "__main__":
+    main()
