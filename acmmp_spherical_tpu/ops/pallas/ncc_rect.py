@@ -37,6 +37,7 @@ quality-gated on the synthetic goldens (tests/test_rect_ncc.py).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -167,15 +168,31 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, *rest,
         # reference moments gated by ITS OWN source-coverage mask (NCC must
         # use the same tap subset on both sides); only the exp and the
         # products are hoisted, the gated sums are cheap FMAs.
+        #
+        # The colour term is SEPARABLE: exp(-|a-b|*c) =
+        # min(e^{-ac} e^{+bc}, e^{+ac} e^{-bc}), so ONE exp over the window
+        # (plus a reciprocal) replaces the 36 per-tap exps; the spatial term
+        # is a compile-time scalar per tap.  Window values are clamped to
+        # +-40/c before the exp so SENTINEL (-1e4) taps stay finite: a
+        # clamped sentinel still differs from any real intensity (0..255,
+        # sigma_color=3 -> clamp at +-720) by >= 465, giving weight
+        # ~e^-26 ~= 0, matching the old exp(-cdist*c) ~ 0 behaviour.
         cp_r.wait()
         center = refwin[8:16, 128:256]
+        clamp = 40.0 / inv_2sc
+        ep = jnp.exp(jnp.clip(refwin[:, :], -clamp, clamp) * inv_2sc)
+        en = 1.0 / ep
+        cen_p = ep[8:16, 128:256]
+        cen_n = en[8:16, 128:256]
         t = 0
         for dy in offs:
             for dx in offs:
                 ref_pix = refwin[8 + dy:16 + dy, 128 + dx:256 + dx]
                 sdist = float((dx * dx + dy * dy) ** 0.5)
-                cdist = jnp.abs(ref_pix - center)
-                wgt = jnp.exp(-sdist * inv_2ss - cdist * inv_2sc)
+                sw = math.exp(-sdist * inv_2ss)
+                tap_p = ep[8 + dy:16 + dy, 128 + dx:256 + dx]
+                tap_n = en[8 + dy:16 + dy, 128 + dx:256 + dx]
+                wgt = sw * jnp.minimum(tap_p * cen_n, tap_n * cen_p)
                 wgt_ref[t] = wgt
                 wr_ref[t] = wgt * ref_pix
                 wrr_ref[t] = wgt * ref_pix * ref_pix

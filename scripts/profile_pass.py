@@ -101,31 +101,31 @@ def main():
 
     inputs2 = prepare_inputs(inputs, params)
 
+    # NOTE: big arrays (inputs2/ctx) must be jit ARGUMENTS, not closure
+    # captures -- captured arrays embed as HLO constants and blow past the
+    # remote-compile tunnel's request-size limit (HTTP 413).
     # --- init ---------------------------------------------------------------
     ctx = ref_tap_context(inputs.ref_image, cams[0], params)
-    init_fn = jax.jit(lambda k: initialize_state(inputs2, params, k, ctx=ctx))
-    t_init, state = fence(init_fn, jax.random.key(0))
+    init_fn = jax.jit(lambda inp, c, k: initialize_state(inp, params, k, ctx=c))
+    t_init, state = fence(init_fn, inputs2, ctx, jax.random.key(0))
     print(f"initialize_state (rect_init={params.rect_init}): {t_init*1e3:8.1f} ms")
 
     # --- one C=9 propagation-batch invocation -------------------------------
     n9 = jnp.repeat(state.normal[None], 9, 0)
     w9 = jnp.repeat(state.w[None], 9, 0)
-    inv9 = jax.jit(lambda n, w: _batched_cost_vectors(inputs2, ctx, params, n, w)[0])
-    t9, _ = fence(inv9, n9, w9)
+    inv = jax.jit(lambda inp, c, n, w: _batched_cost_vectors(
+        inp, c, params, n, w)[0])
+    t9, _ = fence(inv, inputs2, ctx, n9, w9)
     print(f"rect_batched_ncc C=9: {t9*1e3:8.1f} ms")
-    n5, w5 = n9[:5], w9[:5]
-    inv5 = jax.jit(lambda n, w: _batched_cost_vectors(inputs2, ctx, params, n, w)[0])
-    t5, _ = fence(inv5, n5, w5)
+    t5, _ = fence(inv, inputs2, ctx, n9[:5], w9[:5])
     print(f"rect_batched_ncc C=5: {t5*1e3:8.1f} ms")
-    n1, w1 = n9[:1], w9[:1]
-    inv1 = jax.jit(lambda n, w: _batched_cost_vectors(inputs2, ctx, params, n, w)[0])
-    t1, _ = fence(inv1, n1, w1)
+    t1, _ = fence(inv, inputs2, ctx, n9[:1], w9[:1])
     print(f"rect_batched_ncc C=1: {t1*1e3:8.1f} ms")
 
     # --- one halfstep -------------------------------------------------------
-    hs = jax.jit(lambda st, k: checkerboard_halfstep(
-        st, inputs2, ctx, params, k, jnp.int32(1), 0))
-    t_hs, _ = fence(hs, state, jax.random.key(1))
+    hs = jax.jit(lambda st, inp, c, k: checkerboard_halfstep(
+        st, inp, c, params, k, jnp.int32(1), 0))
+    t_hs, _ = fence(hs, state, inputs2, ctx, jax.random.key(1))
     print(f"checkerboard_halfstep: {t_hs*1e3:8.1f} ms")
 
     # --- full pass ----------------------------------------------------------
