@@ -62,15 +62,38 @@ REF_WIN_W = 384   # 128-aligned static cols covering dx span
 SRC_WIN_W = 384
 
 
+def pack_ab(A, B):
+    """Pack two small affine slopes into one f32 lane as (bf16, bf16).
+
+    The slopes only displace taps by A*dx + B*dy with |dx|, |dy| <= patch
+    radius, so bf16's 2^-8 relative error moves a tap by well under 0.05 px
+    -- far below the bilinear interpolation error.  Halving the transported
+    coefficient width matters because the per-pass forward gather is
+    per-ELEMENT cost on v5e (~2 ns/element measured; PERF.md round-2
+    transport anatomy)."""
+    au = jax.lax.bitcast_convert_type(
+        A.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32) << 16
+    bu = jax.lax.bitcast_convert_type(
+        B.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(au | bu, jnp.float32)
+
+
+def _unpack_ab(ab):
+    u = jax.lax.bitcast_convert_type(ab, jnp.uint32)
+    A = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    B = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return A, B
+
+
 def _rect_kernel(srow_ref, ref_ref, src_ref, *rest,
                  params: PatchMatchParams, n_cand: int,
                  with_geom: bool = False):
     if with_geom:
-        (sdisp_ref, d_ref, a_ref, b_ref, v_ref, out_ref, gout_ref,
+        (sdisp_ref, d_ref, ab_ref, v_ref, out_ref, gout_ref,
          refwin, srcwin, dwin, wgt_ref, wr_ref, wrr_ref,
          sem_r, sem_s, sem_d) = rest
     else:
-        (d_ref, a_ref, b_ref, v_ref, out_ref,
+        (d_ref, ab_ref, v_ref, out_ref,
          refwin, srcwin, wgt_ref, wr_ref, wrr_ref, sem_r, sem_s) = rest
         sdisp_ref = gout_ref = dwin = sem_d = None
     SRC_WIN_W = params.rect_win_w or 384
@@ -238,8 +261,7 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, *rest,
                     disp_copy(c + 1, cmins[c + 1], 1 - slot).start()
 
             D = d_ref[c, 0]
-            A = a_ref[c, 0]
-            B = b_ref[c, 0]
+            A, B = _unpack_ab(ab_ref[c, 0])
 
             def tap_coords(dx, dy):
                 xsrc = xg + dx - (D + A * dx + B * dy)
@@ -340,7 +362,7 @@ def rect_batched_ncc(
     Hr, Wr = rect.fwd_valid.shape[1:]
     cost_max = params.cost_max
 
-    # ---- affine coefficients on the original grid, (S, HW, C*3) layout ----
+    # ---- affine coefficients on the original grid, (S, HW, C*2) layout ----
     n_r = jnp.einsum("sij,chwj->shwci", rect.pr.R_rr, normals,
                      precision=jax.lax.Precision.HIGHEST)  # (S,H,W,C,3)
     f = rect.pr.K[:, 0][:, None, None, None]
@@ -350,40 +372,46 @@ def rect_batched_ncc(
     A = scale * n_r[..., 0]
     B = scale * n_r[..., 1]
     cterm = scale * n_r[..., 2] * f
-    table = jnp.stack([A, B, cterm], -1).reshape(S, H * W, C * 3)
+    # D is evaluated ON THE ORIGINAL GRID at each pixel's ROUNDED rect
+    # coordinates (recovered from the backward map) -- identical, by the
+    # fwd = exact-inverse-of-round(bwd) construction, to evaluating at the
+    # claimed rect pixel's own integer coordinates, but it shrinks the
+    # per-invocation forward gather from 3 to 2 floats per candidate: the
+    # gather is per-ELEMENT cost (~2 ns/element on v5e, the dominant
+    # transport term), so width is the lever.  A and B ride packed as a
+    # (bf16, bf16) pair in one f32 lane (see pack_ab).
+    cx = rect.pr.K[:, 1][:, None, None, None]     # (S, 1, 1, 1)
+    cy = rect.pr.K[:, 2][:, None, None, None]
+    off_x = rect.srow[:, 3][:, None, None, None]
+    off_y = rect.srow[:, 2][:, None, None, None]
+    xb = (rect.bwd_idx % Wr).astype(jnp.float32).reshape(S, H, W)[..., None]
+    yb = (rect.bwd_idx // Wr).astype(jnp.float32).reshape(S, H, W)[..., None]
+    D = A * (xb + off_x - cx) + B * (yb + off_y - cy) + cterm
+    D = jnp.where(jnp.isfinite(D) & (jnp.abs(D) < 1e8), D, -1e9)
+    table = jnp.stack([D, pack_ab(A, B)], -1).reshape(S, H * W, C * 2)
 
     # ---- gather onto the rectified grids through the forward map ----------
-    abc = jax.vmap(lambda t, idx: t[idx])(table, rect.fwd_idx)
-    abc = abc.reshape(S, Hr, Wr, C, 3)
-    A = abc[..., 0].transpose(3, 0, 1, 2)         # (C, S, Hr, Wr)
-    B = abc[..., 1].transpose(3, 0, 1, 2)
-    cterm = abc[..., 2].transpose(3, 0, 1, 2)
-    # D evaluated at the claiming original pixel's rect coordinates == this
-    # rect pixel's own integer coordinates (exact attribution by fwd_idx)
-    cx = rect.pr.K[:, 1][None, :, None, None]
-    cy = rect.pr.K[:, 2][None, :, None, None]
-    off_x = rect.srow[:, 3][None, :, None, None]
-    off_y = rect.srow[:, 2][None, :, None, None]
-    xr = off_x + jax.lax.broadcasted_iota(jnp.float32, (1, S, Hr, Wr), 3)
-    yr = off_y + jax.lax.broadcasted_iota(jnp.float32, (1, S, Hr, Wr), 2)
-    D = A * (xr - cx) + B * (yr - cy) + cterm
-    finite = jnp.isfinite(D) & (jnp.abs(D) < 1e8) & (rect.fwd_valid[None] > 0.5)
-    D = jnp.where(finite, D, -1e9)                # coverage-rejected
+    dab = jax.vmap(lambda t, idx: t[idx])(table, rect.fwd_idx)
+    dab = dab.reshape(S, Hr, Wr, C, 2)
+    D = dab[..., 0].transpose(3, 0, 1, 2)         # (C, S, Hr, Wr)
+    AB = dab[..., 1].transpose(3, 0, 1, 2)
+    D = jnp.where(rect.fwd_valid[None] > 0.5, D, -1e9)  # coverage-rejected
 
     sdisp = rect.rect_sdisp if with_geom else None
-    return run_rect_kernel(rect.srow, rect.rect_ref, rect.rect_src, D, A, B,
+    return run_rect_kernel(rect.srow, rect.rect_ref, rect.rect_src, D, AB,
                            rect.fwd_valid, rect.bwd_idx, rect.bwd_valid,
                            params, out_hw=(H, W), interpret=interpret,
                            rect_sdisp=sdisp)
 
 
-def run_rect_kernel(srow, rect_ref, rect_src, D, A, B, fwd_valid, bwd_idx,
+def run_rect_kernel(srow, rect_ref, rect_src, D, AB, fwd_valid, bwd_idx,
                     bwd_valid, params: PatchMatchParams, *, out_hw,
                     interpret: bool = False, rect_sdisp=None):
     """pallas_call + cost back-mapping shared by the pinhole wrapper above
-    and the spherical wrapper (ops/pallas/ncc_sphere.py): the kernel itself
-    only consumes per-pixel affine displacement fields (D, A, B) plus the
-    warped row-aligned frames, so both geometries drive the same kernel."""
+    and the spherical wrapper (ops/sphere_rect.py): the kernel itself only
+    consumes per-pixel affine displacement fields (D f32, (A, B) bf16-packed
+    via pack_ab) plus the warped row-aligned frames, so both geometries
+    drive the same kernel."""
     C, S, Hr, Wr = D.shape
     H, W = out_hw
     with_geom = rect_sdisp is not None
@@ -407,10 +435,10 @@ def run_rect_kernel(srow, rect_ref, rect_src, D, A, B, fwd_valid, bwd_idx,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))      # sdisp
         operands.append(rect_sdisp)
     in_specs += [
-        cdab(), cdab(), cdab(),                                    # D A B
+        cdab(), cdab(),                                            # D, AB
         pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j)),
     ]
-    operands += [D, A, B, fwd_valid]
+    operands += [D, AB, fwd_valid]
     out_shape = jax.ShapeDtypeStruct((C, S, Hr, Wr), jnp.float32)
     scratch = [
         pltpu.VMEM((WIN_H, REF_WIN_W), jnp.float32),

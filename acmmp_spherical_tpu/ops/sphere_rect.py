@@ -306,7 +306,9 @@ def sphere_batched_ncc(
     kernel's affine (D, A, B).  Transport/back-map identical to the pinhole
     wrapper (wide-row gathers through the per-pass maps).
     """
-    from acmmp_spherical_tpu.ops.pallas.ncc_rect import run_rect_kernel
+    from acmmp_spherical_tpu.ops.pallas.ncc_rect import (
+        pack_ab, run_rect_kernel,
+    )
 
     C, H, W = ws.shape
     S = ctx.baseline.shape[0]
@@ -331,16 +333,17 @@ def sphere_batched_ncc(
     D = jnp.where(good, disps[0], -1e9)
     A = jnp.where(good, disps[1] - disps[0], 0.0)
     Bc = jnp.where(good, disps[2] - disps[0], 0.0)
-    table = jnp.stack([D, A, Bc], -1).reshape(S, H * W, C * 3)
+    # (A, B) ride bf16-packed in one f32 lane (pack_ab): the forward gather
+    # is per-element cost, so 2 floats per candidate instead of 3
+    table = jnp.stack([D, pack_ab(A, Bc)], -1).reshape(S, H * W, C * 2)
 
     dab = jax.vmap(lambda t, idx: t[idx])(table, ctx.fwd_idx)
-    dab = dab.reshape(S, Wt, Ht, C, 3)
+    dab = dab.reshape(S, Wt, Ht, C, 2)
     D = dab[..., 0].transpose(3, 0, 1, 2)           # (C, S, Wt, Ht)
-    A = dab[..., 1].transpose(3, 0, 1, 2)
-    Bc = dab[..., 2].transpose(3, 0, 1, 2)
+    AB = dab[..., 1].transpose(3, 0, 1, 2)
     D = jnp.where(ctx.fwd_valid[None] > 0.5, D, -1e9)
     sdisp = ctx.rect_sdisp if with_geom else None
-    return run_rect_kernel(ctx.srow, ctx.rect_ref, ctx.rect_src, D, A, Bc,
+    return run_rect_kernel(ctx.srow, ctx.rect_ref, ctx.rect_src, D, AB,
                            ctx.fwd_valid, ctx.bwd_idx, ctx.bwd_valid, params,
                            out_hw=(H, W), interpret=interpret,
                            rect_sdisp=sdisp)
