@@ -94,6 +94,11 @@ class PatchMatchParams:
     # problem).  None = the full storage frame.  ~2x fewer kernel tiles at
     # the bench operating point.
     rect_comp_hw: "tuple[int, int] | None" = None
+    # static live-tile budget of the compacted transport
+    # (ops/rectify.rect_live_tile_count, host-side per problem): only tiles
+    # inside the warped-reference footprint (~43% of the bbox at the bench
+    # operating point) are gathered/computed.  None = keep every bbox tile.
+    rect_live_n: "int | None" = None
     # route the initial-field cost evaluation through the rectified kernel
     # too (instead of the exact path): safe whenever the problem's FULL
     # plausible disparity span fits the kernel's source window, so even a

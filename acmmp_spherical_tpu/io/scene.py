@@ -25,8 +25,12 @@ Camera file format (reference ReadCamera, ACMMP.cpp:146-209)::
     f cx cy           |  K10 K11 K12
                       |  K20 K21 K22
 
-    depth_min depth_interval n_planes depth_max   (sphere)
-    depth_min depth_max d d                       (pinhole)
+    depth_min depth_interval n_planes depth_max
+
+(The reference fork's C++ pinhole reader takes fields 0/1 as dmin/dmax --
+inconsistent with its own converter's writer, which emits the line above for
+all models; ``read_camera_file`` accepts both conventions.  See the
+docstrings below.)
 """
 
 from __future__ import annotations
@@ -90,13 +94,30 @@ def read_camera_file(path: str | os.PathLike) -> Camera:
         return make_camera(R, t, model=SPHERE, sphere_params=[f, cx, cy],
                            depth_min=dmin, depth_max=dmax)
     K = np.array([float(tok)] + [next_f() for _ in range(8)]).reshape(3, 3)
-    dmin, dmax = next_f(), next_f()
-    # two trailing dummies (interval/planes) may or may not be present
-    for _ in range(2):
+    vals = []
+    for _ in range(4):
         try:
-            next(it)
+            vals.append(next_f())
         except StopIteration:
             break
+    # The pinhole depth line exists in two conventions:
+    #   converter format   dmin dint nplanes dmax   (colmap2mvsnet_acm.py:388
+    #                      writes this for ALL models)
+    #   C++ reader format  dmin dmax d d            (ACMMP.cpp:205 reads
+    #                      fields 0/1 as the range)
+    # The reference fork is internally INCONSISTENT here: feeding its own
+    # converter output to its own reader sets depth_max = depth_interval for
+    # pinhole scenes -- an evident bug we knowingly fix by disambiguating.
+    # The converter identity dint*(nplanes-1) == dmax-dmin detects its
+    # format; a "dmax" below dmin can only be an interval.
+    dmin = vals[0] if vals else 0.0
+    dmax = vals[1] if len(vals) > 1 else 1.0
+    if len(vals) == 4:
+        a, b, c, d = vals
+        span_id = (c >= 2 and abs(c - round(c)) < 1e-6
+                   and abs(b * (round(c) - 1) - (d - a)) <= 0.02 * max(d - a, 1e-9))
+        if b <= a or span_id:
+            dmin, dmax = a, d
     return make_camera(R, t, model=PINHOLE, K=K, depth_min=dmin, depth_max=dmax)
 
 
@@ -121,10 +142,10 @@ def write_camera_file(path, camera_model: str, R, t, *, K=None, sphere_params=No
         for r in range(3):
             lines.append(" ".join(repr(float(v)) for v in K[r]))
     lines.append("")
-    if camera_model == SPHERE:
-        lines.append(f"{depth_min} {depth_interval} {num_planes} {depth_max}")
-    else:
-        lines.append(f"{depth_min} {depth_max} {depth_interval} {num_planes}")
+    # one depth-line format for all models, matching the reference
+    # converter's writer exactly (colmap2mvsnet_acm.py:388); see
+    # read_camera_file for the fork's pinhole reader mismatch
+    lines.append(f"{depth_min} {depth_interval} {num_planes} {depth_max}")
     Path(path).write_text("\n".join(lines) + "\n")
 
 

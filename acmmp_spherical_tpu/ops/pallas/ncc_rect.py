@@ -67,7 +67,11 @@ def pack_ab(A, B):
 
     The slopes only displace taps by A*dx + B*dy with |dx|, |dy| <= patch
     radius, so bf16's 2^-8 relative error moves a tap by well under 0.05 px
-    -- far below the bilinear interpolation error.  Halving the transported
+    -- far below the bilinear interpolation error.  Caveat: the bound scales
+    with |A|, |B| -- steeply slanted hypotheses (|A| >> 1, i.e. near-parallel
+    ray/plane) see proportionally larger tap-placement error, but such
+    hypotheses already produce decorrelated/rejected costs, so the ranking
+    is unaffected.  Halving the transported
     coefficient width matters because the per-pass forward gather is
     per-ELEMENT cost on v5e (~2 ns/element measured; PERF.md round-2
     transport anatomy)."""
@@ -85,7 +89,7 @@ def _unpack_ab(ab):
     return A, B
 
 
-def _rect_kernel(srow_ref, ref_ref, src_ref, *rest,
+def _rect_kernel(srow_ref, toy_ref, tox_ref, ref_ref, src_ref, *rest,
                  params: PatchMatchParams, n_cand: int,
                  with_geom: bool = False):
     if with_geom:
@@ -97,9 +101,8 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, *rest,
          refwin, srcwin, wgt_ref, wr_ref, wrr_ref, sem_r, sem_s) = rest
         sdisp_ref = gout_ref = dwin = sem_d = None
     SRC_WIN_W = params.rect_win_w or 384
-    i = pl.program_id(1)
-    j = pl.program_id(2)
     s = pl.program_id(0)
+    k = pl.program_id(1)       # live-tile slot (compacted grid)
     cost_max = params.cost_max
     C = n_cand
 
@@ -114,13 +117,13 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, *rest,
     @pl.when(tile_live)
     def _():
         # ---- shared reference window --------------------------------------
-        # the compute grid sits at a per-pair (8, 128)-aligned offset inside
-        # the storage frame (rectify.rect_comp_shape); tile (i, j) covers
-        # storage content rows/cols (oy + 8i, ox + 128j)
-        oy = srow_ref[0, 0, 2].astype(jnp.int32)
-        ox = srow_ref[0, 0, 3].astype(jnp.int32)
-        y0 = pl.multiple_of(oy + 8 * i, TILE_H)     # padded row of (.. - 8)
-        xr0 = pl.multiple_of(ox + 128 * j, TILE_W)  # padded col of (.. - 128)
+        # slot k holds the live compute-grid tile whose storage content
+        # origin is (tile_oy, tile_ox) (SMEM tables; see
+        # rectify.build_transport_maps)
+        oy_t = toy_ref[s, k]
+        ox_t = tox_ref[s, k]
+        y0 = pl.multiple_of(oy_t, TILE_H)     # padded row of (.. - 8)
+        xr0 = pl.multiple_of(ox_t, TILE_W)    # padded col of (.. - 128)
         cp_r = pltpu.make_async_copy(
             ref_ref.at[s, pl.ds(y0, WIN_H), pl.ds(xr0, REF_WIN_W)],
             refwin, sem_r)
@@ -131,7 +134,7 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, *rest,
         lane = jax.lax.broadcasted_iota(
             jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
         # unpadded storage-frame rect x of this tile's lanes
-        xg = srow_ref[0, 0, 3] + 128.0 * j.astype(jnp.float32) + lane
+        xg = ox_t.astype(jnp.float32) + lane
         wr_pad = src_ref.shape[2]
 
         def window_origin(D):
@@ -335,111 +338,119 @@ def _rect_kernel(srow_ref, ref_ref, src_ref, *rest,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("params", "interpret", "with_geom"))
+                   static_argnames=("params", "interpret", "with_geom",
+                                    "parity"))
 def rect_batched_ncc(
     rect: RectContext,
-    normals: jax.Array,    # (C, H, W, 3) candidate plane normals (ref-cam)
-    ws: jax.Array,         # (C, H, W)
+    normals: jax.Array,    # (C, H, Wg, 3) candidate plane normals (ref-cam)
+    ws: jax.Array,         # (C, H, Wg)
     params: PatchMatchParams,
     *,
     interpret: bool = False,
     with_geom: bool = False,  # also emit the fused geom cost -> (cv, gv)
+    parity: "int | None" = None,  # None: full-grid fields (Wg = W); 0/1: the
+                                  # fields are checkerboard-packed half-grids
+                                  # (Wg = W//2) and only that colour's costs
+                                  # are transported/backmapped -- halves the
+                                  # per-invocation gather work exactly (a
+                                  # half-step never reads the other colour)
 ):
-    """Evaluate C candidate plane fields against S sources -> (C, S, H, W).
+    """Evaluate C candidate plane fields against S sources -> (C, S, H, Wg).
 
     XLA pre-step: per-pair affine coefficients (A, B, cterm) are computed on
-    the ORIGINAL grid (pure VPU math, laid out (S, H*W, 3C) so no transpose
-    materialises) and GATHERED onto each pair's rectified grid through the
-    per-pass forward map (rect.fwd_idx, exact plane attribution); the
-    disparity intercept D is evaluated at the rect pixel itself.  XLA
-    post-step: one wide-row gather per pair maps all C cost planes back.
-    A scatter-based transport was measured ~7x slower (an XLA scatter row
-    costs ~14x a gather row on v5e); the only scatter lives in
+    the evaluation grid (pure VPU math) and GATHERED onto each pair's
+    compacted live-tile list through the per-pass forward map (exact plane
+    attribution); the disparity intercept D is evaluated at the rect pixel
+    itself.  XLA post-step: one wide-row gather per pair maps all C cost
+    planes back.  A scatter-based transport was measured ~7x slower (an XLA
+    scatter row costs ~14x a gather row on v5e); the only scatters live in
     build_rect_context, once per pass.
     """
-    C, H, W = ws.shape
-    S = rect.bwd_idx.shape[0]
-    Hr, Wr = rect.fwd_valid.shape[1:]
+    C, H, Wg = ws.shape
+    maps = rect.maps[0 if parity is None else 1 + parity]
+    S = maps.bwd_cidx.shape[0]
     cost_max = params.cost_max
 
-    # ---- affine coefficients on the original grid, (S, HW, C*2) layout ----
+    # ---- affine coefficients on the evaluation grid, (S, M, C*2) layout ---
     n_r = jnp.einsum("sij,chwj->shwci", rect.pr.R_rr, normals,
-                     precision=jax.lax.Precision.HIGHEST)  # (S,H,W,C,3)
+                     precision=jax.lax.Precision.HIGHEST)  # (S,H,Wg,C,3)
     f = rect.pr.K[:, 0][:, None, None, None]
-    wply = jnp.moveaxis(ws, 0, -1)[None]          # (1, H, W, C)
+    wply = jnp.moveaxis(ws, 0, -1)[None]          # (1, H, Wg, C)
     scale = -rect.pr.baseline[:, None, None, None] / jnp.where(
         jnp.abs(wply) < 1e-20, 1e-20, wply)
     A = scale * n_r[..., 0]
     B = scale * n_r[..., 1]
     cterm = scale * n_r[..., 2] * f
-    # D is evaluated ON THE ORIGINAL GRID at each pixel's ROUNDED rect
-    # coordinates (recovered from the backward map) -- identical, by the
+    # D is evaluated ON THE EVALUATION GRID at each pixel's ROUNDED rect
+    # coordinates (the backward map) -- identical, by the
     # fwd = exact-inverse-of-round(bwd) construction, to evaluating at the
     # claimed rect pixel's own integer coordinates, but it shrinks the
     # per-invocation forward gather from 3 to 2 floats per candidate: the
-    # gather is per-ELEMENT cost (~2 ns/element on v5e, the dominant
-    # transport term), so width is the lever.  A and B ride packed as a
-    # (bf16, bf16) pair in one f32 lane (see pack_ab).
+    # gather cost scales with row count AND width on v5e (PERF.md), so both
+    # are levers.  A and B ride packed as a (bf16, bf16) pair in one f32
+    # lane (see pack_ab).
     cx = rect.pr.K[:, 1][:, None, None, None]     # (S, 1, 1, 1)
     cy = rect.pr.K[:, 2][:, None, None, None]
     off_x = rect.srow[:, 3][:, None, None, None]
     off_y = rect.srow[:, 2][:, None, None, None]
-    xb = (rect.bwd_idx % Wr).astype(jnp.float32).reshape(S, H, W)[..., None]
-    yb = (rect.bwd_idx // Wr).astype(jnp.float32).reshape(S, H, W)[..., None]
+    xb = maps.bwd_x.astype(jnp.float32).reshape(S, H, Wg)[..., None]
+    yb = maps.bwd_y.astype(jnp.float32).reshape(S, H, Wg)[..., None]
     D = A * (xb + off_x - cx) + B * (yb + off_y - cy) + cterm
     D = jnp.where(jnp.isfinite(D) & (jnp.abs(D) < 1e8), D, -1e9)
-    table = jnp.stack([D, pack_ab(A, B)], -1).reshape(S, H * W, C * 2)
+    table = jnp.stack([D, pack_ab(A, B)], -1).reshape(S, H * Wg, C * 2)
 
-    # ---- gather onto the rectified grids through the forward map ----------
-    dab = jax.vmap(lambda t, idx: t[idx])(table, rect.fwd_idx)
-    dab = dab.reshape(S, Hr, Wr, C, 2)
-    D = dab[..., 0].transpose(3, 0, 1, 2)         # (C, S, Hr, Wr)
+    # ---- gather onto the compacted live tiles through the forward map -----
+    K8 = maps.fwd_valid.shape[1]                  # N*8
+    dab = jax.vmap(lambda t, idx: t[idx])(table, maps.fwd_idx)
+    dab = dab.reshape(S, K8, 128, C, 2)
+    D = dab[..., 0].transpose(3, 0, 1, 2)         # (C, S, K8, 128)
     AB = dab[..., 1].transpose(3, 0, 1, 2)
-    D = jnp.where(rect.fwd_valid[None] > 0.5, D, -1e9)  # coverage-rejected
+    D = jnp.where(maps.fwd_valid[None] > 0.5, D, -1e9)  # coverage-rejected
 
     sdisp = rect.rect_sdisp if with_geom else None
     return run_rect_kernel(rect.srow, rect.rect_ref, rect.rect_src, D, AB,
-                           rect.fwd_valid, rect.bwd_idx, rect.bwd_valid,
-                           params, out_hw=(H, W), interpret=interpret,
+                           maps, rect.tile_oy, rect.tile_ox,
+                           params, out_hw=(H, Wg), interpret=interpret,
                            rect_sdisp=sdisp)
 
 
-def run_rect_kernel(srow, rect_ref, rect_src, D, AB, fwd_valid, bwd_idx,
-                    bwd_valid, params: PatchMatchParams, *, out_hw,
+def run_rect_kernel(srow, rect_ref, rect_src, D, AB, maps, tile_oy, tile_ox,
+                    params: PatchMatchParams, *, out_hw,
                     interpret: bool = False, rect_sdisp=None):
     """pallas_call + cost back-mapping shared by the pinhole wrapper above
     and the spherical wrapper (ops/sphere_rect.py): the kernel itself only
     consumes per-pixel affine displacement fields (D f32, (A, B) bf16-packed
-    via pack_ab) plus the warped row-aligned frames, so both geometries
-    drive the same kernel."""
-    C, S, Hr, Wr = D.shape
+    via pack_ab) in the compacted live-tile layout plus the warped
+    row-aligned frames, so both geometries drive the same kernel."""
+    C, S, K8, _ = D.shape
+    N = K8 // TILE_H
     H, W = out_hw
     with_geom = rect_sdisp is not None
     r = params.patch_size // 2
     n_taps = len(range(-r, r + 1, params.radius_increment)) ** 2
     kernel = functools.partial(_rect_kernel, params=params, n_cand=C,
                                with_geom=with_geom)
-    ty, tx = Hr // TILE_H, Wr // TILE_W
     win_w = params.rect_win_w or 384
     cdab = lambda: pl.BlockSpec((C, 1, TILE_H, TILE_W),
-                                lambda s, i, j: (0, s, i, j))
-    cout = lambda: pl.BlockSpec((C, 1, TILE_H, TILE_W),
-                                lambda s, i, j: (0, s, i, j))
+                                lambda s, k: (0, s, k, 0))
+    smem = lambda: pl.BlockSpec((S, N), lambda s, k: (0, 0),
+                                memory_space=pltpu.SMEM)
     in_specs = [
-        pl.BlockSpec((1, 1, 128), lambda s, i, j: (s, 0, 0)),      # srow
-        pl.BlockSpec(memory_space=pltpu.ANY),                      # ref
-        pl.BlockSpec(memory_space=pltpu.ANY),                      # src
+        pl.BlockSpec((1, 1, 128), lambda s, k: (s, 0, 0)),         # srow
+        smem(), smem(),                                            # tile oy/ox
+        pl.BlockSpec(memory_space=pl.ANY),                      # ref
+        pl.BlockSpec(memory_space=pl.ANY),                      # src
     ]
-    operands = [srow[:, None, :], rect_ref, rect_src]
+    operands = [srow[:, None, :], tile_oy, tile_ox, rect_ref, rect_src]
     if with_geom:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))      # sdisp
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # sdisp
         operands.append(rect_sdisp)
     in_specs += [
         cdab(), cdab(),                                            # D, AB
-        pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j)),
+        pl.BlockSpec((1, TILE_H, TILE_W), lambda s, k: (s, k, 0)),
     ]
-    operands += [D, AB, fwd_valid]
-    out_shape = jax.ShapeDtypeStruct((C, S, Hr, Wr), jnp.float32)
+    operands += [D, AB, maps.fwd_valid]
+    out_shape = jax.ShapeDtypeStruct((C, S, K8, TILE_W), jnp.float32)
     scratch = [
         pltpu.VMEM((WIN_H, REF_WIN_W), jnp.float32),
         pltpu.VMEM((2, WIN_H, win_w), jnp.float32),
@@ -457,20 +468,20 @@ def run_rect_kernel(srow, rect_ref, rect_src, D, AB, fwd_valid, bwd_idx,
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
     outs = pl.pallas_call(
         kernel,
-        grid=(S, ty, tx),
+        grid=(S, N),
         in_specs=in_specs,
-        out_specs=[cout(), cout()] if with_geom else cout(),
+        out_specs=[cdab(), cdab()] if with_geom else cdab(),
         out_shape=[out_shape, out_shape] if with_geom else out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
 
-    # ---- map the cost planes back to the original grid --------------------
+    # ---- map the cost planes back to the evaluation grid ------------------
     def backmap(plane, fill):
-        back = plane.reshape(C, S, Hr * Wr).transpose(1, 2, 0)  # (S, HrWr, C)
-        picked = jax.vmap(lambda t, idx: t[idx])(back, bwd_idx)
+        back = plane.reshape(C, S, K8 * TILE_W).transpose(1, 2, 0)
+        picked = jax.vmap(lambda t, idx: t[idx])(back, maps.bwd_cidx)
         out = picked.transpose(2, 0, 1).reshape(C, S, H, W)
-        return jnp.where(bwd_valid[None], out, fill)
+        return jnp.where(maps.bwd_valid.reshape(1, S, H, W), out, fill)
 
     if with_geom:
         return (backmap(outs[0], params.cost_max),

@@ -115,6 +115,7 @@ def prepare_inputs(inputs: "PatchMatchInputs",
                 comp_hw=params.rect_comp_hw,
                 src_depths=(inputs.src_depths
                             if params.geom_consistency else None),
+                live_n=params.rect_live_n,
             )
             inputs = inputs._replace(rect=rect)
         elif (inputs.ref_cam.model == SPHERE
@@ -234,13 +235,16 @@ def _use_rect(inputs, params, allow_fast=True):
     return ok
 
 
-def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
+def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=(),
+                          parity=None):
     """Photometric + geometric cost vectors for a batch of candidate fields.
 
-    normals (C, H, W, 3), ws (C, H, W) on the FULL grid.  Returns
-    (cv (C, S, H, W), gv (C, S, H, W) | None).  ``exact_idx``: candidate
-    indices forced through the exact path.  Rectified mode evaluates the whole
-    batch in one kernel invocation (the plane gather amortises over C).
+    normals (C, H, Wg, 3), ws (C, H, Wg) on the evaluation grid (the full
+    grid, or a checkerboard-packed half-grid when ``parity`` is 0/1 -- rect
+    mode then transports/evaluates only the active colour).  Returns
+    (cv (C, S, H, Wg), gv | None).  ``exact_idx``: candidate indices forced
+    through the exact path.  Rectified mode evaluates the whole batch in one
+    kernel invocation (the plane gather amortises over C).
     """
     if _use_rect(inputs, params):
         interpret = jax.default_backend() != "tpu"
@@ -250,7 +254,8 @@ def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
             from acmmp_spherical_tpu.ops.sphere_rect import sphere_batched_ncc
 
             out = sphere_batched_ncc(inputs.rect, normals, ws, params,
-                                     interpret=interpret, with_geom=geom_on)
+                                     interpret=interpret, with_geom=geom_on,
+                                     parity=parity)
             cv, gv = out if geom_on else (out, None)
         else:
             from acmmp_spherical_tpu.ops.pallas.ncc_rect import (
@@ -258,7 +263,8 @@ def _batched_cost_vectors(inputs, ctx, params, normals, ws, *, exact_idx=()):
             )
 
             out = rect_batched_ncc(inputs.rect, normals, ws, params,
-                                   interpret=interpret, with_geom=geom_on)
+                                   interpret=interpret, with_geom=geom_on,
+                                   parity=parity)
             cv, gv = out if geom_on else (out, None)
         for i in exact_idx:
             cvi = multiview_ncc(
@@ -433,6 +439,7 @@ def _refinement(
     inputs, ctx, params, key, xs, ys,
     normal, w, depth, cost, restricted, sel,
     prior_normal, prior_mask, prior_depth, dmin, dmax,
+    parity=None,
 ):
     """Sequentially ratchet through the 5 refinement candidates.
 
@@ -519,7 +526,7 @@ def _refinement(
         pre = _dc.replace(params,
                           radius_increment=params.prescreen_increment)
         cv5p, _ = _batched_cost_vectors(inputs, ctx, pre,
-                                        cand_normals, cand_w)
+                                        cand_normals, cand_w, parity=parity)
         valid5 = (can_refine[None]
                   & (cand_depth_at >= dmin) & (cand_depth_at <= dmax)
                   & (cand_depth_at < G.INVALID_DEPTH))
@@ -536,7 +543,8 @@ def _refinement(
         win_d = take1(cand_depth_at)
         win_valid = take1(valid5.astype(jnp.int32)) > 0
         cv1, _ = _batched_cost_vectors(inputs, ctx, params,
-                                       win_n[None], win_w[None])
+                                       win_n[None], win_w[None],
+                                       parity=parity)
         win_cost = _aggregate(cv1[0], None, sel.weights, sel.weight_norm,
                               params.geom_weight_refine, params)
         accept = win_valid & (win_cost < cost)
@@ -555,7 +563,7 @@ def _refinement(
         _use_fast(inputs, params, True) or _use_rect(inputs, params))
     cv5, gv5 = _batched_cost_vectors(
         inputs, ctx, params, cand_normals, cand_w,
-        exact_idx=() if rand_ok else (0, 2),
+        exact_idx=() if rand_ok else (0, 2), parity=parity,
     )
     cand_costs = jnp.stack([
         _aggregate(cv5[i], None if gv5 is None else gv5[i], sel.weights,
@@ -621,6 +629,7 @@ def _halfstep_core(
     inputs, ctx, params, key, iteration, xs, ys,
     cur_normal, cur_w, cur_cost, cur_pre_cost, cur_selected,
     cands: Candidates, priors, prior_normal, prior_w, prior_mask,
+    parity=None,
 ):
     """The grid-agnostic propagation + refinement update.
 
@@ -649,14 +658,15 @@ def _halfstep_core(
         pre = _dc.replace(params,
                           radius_increment=params.prescreen_increment)
         cost_arrays, _ = _batched_cost_vectors(inputs, ctx, pre,
-                                               cands.normal, cands.w)
+                                               cands.normal, cands.w,
+                                               parity=parity)
         geom_arrays = None
         now_vecs = None
     elif _use_rect(inputs, params):
         all_n = jnp.concatenate([cands.normal, cur_normal[None]], axis=0)
         all_w = jnp.concatenate([cands.w, cur_w[None]], axis=0)
         cv_all, gv_all = _batched_cost_vectors(inputs, ctx, params,
-                                               all_n, all_w)
+                                               all_n, all_w, parity=parity)
         cost_arrays = cv_all[:8]
         geom_arrays = None if gv_all is None else gv_all[:8]
         now_vecs = (cv_all[8], None if gv_all is None else gv_all[8])
@@ -699,7 +709,8 @@ def _halfstep_core(
     if prescreen:
         cv2, _ = _batched_cost_vectors(
             inputs, ctx, params,
-            jnp.stack([best_n, cur_normal]), jnp.stack([best_w, cur_w]))
+            jnp.stack([best_n, cur_normal]), jnp.stack([best_w, cur_w]),
+            parity=parity)
         best_cost = _aggregate(cv2[0], None, sel.weights, sel.weight_norm,
                                params.geom_weight_prop, params)
         cv_now, gv_now = cv2[1], None
@@ -770,7 +781,7 @@ def _halfstep_core(
     normal_f, w_f, _, cost_f, _ = _refinement(
         inputs, ctx, params, k_refine, xs, ys,
         normal_loc, w_loc, depth_loc, cost_loc, restricted_loc, sel,
-        prior_normal, prior_mask, prior_depth, dmin, dmax,
+        prior_normal, prior_mask, prior_depth, dmin, dmax, parity=parity,
     )
 
     # 8. hierarchy commit guard (ACMMP.cu:1315-1324)
@@ -817,10 +828,17 @@ def checkerboard_halfstep(
                                    wrap_x=wrap)
 
     has_prior = params.planar_prior and inputs.prior_normal is not None
-    # rect mode computes full-grid (the rect kernel evaluates the whole
-    # rectified frame regardless, and its gather maps are full-grid); the
-    # parity-masked commit below keeps checkerboard semantics
-    if H % 2 == 0 and W % 2 == 0 and not _use_rect(inputs, params):
+    # the active colour is packed into a dense (H, W/2) half-grid before the
+    # expensive multi-view evaluations -- halving the sampling work exactly
+    # like the reference's half-lattice kernel launches.  Rect mode packs
+    # too, switching the kernel onto the per-parity transport maps (only the
+    # active colour's costs are ever read back); it needs the parity maps in
+    # the context (len(maps) == 3 -- absent only for odd dimensions).
+    use_rect = _use_rect(inputs, params)
+    packed_ok = H % 2 == 0 and W % 2 == 0
+    if use_rect:
+        packed_ok = packed_ok and len(inputs.rect.maps) == 3
+    if packed_ok:
         P = lambda a: checkerboard_pack(a, parity)
         Pc = lambda a: _pack_hw(a, parity, channels_last=True)
         xs_p, ys_p = checkerboard_coords(H, W, parity)
@@ -837,6 +855,7 @@ def checkerboard_halfstep(
             Pc(inputs.prior_normal) if has_prior else None,
             P(inputs.prior_w) if has_prior else None,
             P(inputs.prior_mask) if has_prior else None,
+            parity=parity if use_rect else None,
         )
         return PlaneState(
             normal=jnp.moveaxis(

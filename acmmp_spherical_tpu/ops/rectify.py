@@ -135,6 +135,117 @@ def rect_comp_shape(ref_cam: Camera, src_cams: Cameras,
     return hb, wb
 
 
+def rect_live_tile_count(ref_cam: Camera, src_cams: Cameras,
+                         rect_hw: tuple[int, int],
+                         comp_hw: tuple[int, int]) -> int:
+    """Host-side static budget of LIVE (8, 128) compute-grid tiles per pair.
+
+    Only rect pixels claimed by some original pixel are ever read back, and
+    those all lie inside the warped-reference footprint -- a convex
+    quadrilateral covering ~40-50% of the bbox compute grid at the bench
+    operating point (the bbox of a *rotated* rectangle).  The compacted
+    transport (build_transport_maps) gathers and computes only a static
+    budget of N live tiles; this mirror rasterises the footprint quad at
+    tile granularity with the same float64 math as rect_comp_shape, takes
+    the max over pairs, adds a 1-tile safety ring (the device map rounds in
+    f32), and quantises up so near-identical problems share one compiled
+    program.  Returns a value in (0, ty*tx]; the device side orders tiles
+    by live-pixel count so an overflow (which the margin makes improbable)
+    only drops the emptiest boundary tiles.
+    """
+    hr, wr = rect_hw
+    hb, wb = comp_hw
+    ty, tx = hb // 8, wb // 128
+    margin = 2.0
+    R0 = np.asarray(ref_cam.R, np.float64)
+    t0 = np.asarray(ref_cam.t, np.float64)
+    K0 = np.asarray(ref_cam.K, np.float64)
+    Rs = np.asarray(src_cams.R, np.float64)
+    ts = np.asarray(src_cams.t, np.float64)
+    Ks = np.asarray(src_cams.K, np.float64)
+    whs = np.asarray(src_cams.wh, np.float64)
+    f0 = K0[0, 0]
+    W0 = float(np.asarray(ref_cam.width))
+    H0_ = float(np.asarray(ref_cam.height))
+    C0 = -R0.T @ t0
+
+    def corner_uv(R_cr, K, W_, H_):
+        corners = np.array([[0.0, 0.0, 1.0], [W_ - 1.0, 0.0, 1.0],
+                            [0.0, H_ - 1.0, 1.0], [W_ - 1.0, H_ - 1.0, 1.0]])
+        q = corners @ (R_cr @ np.linalg.inv(K)).T
+        if np.any(q[:, 2] <= 1e-6):
+            return None
+        return q[:, 0] / q[:, 2], q[:, 1] / q[:, 2]
+
+    best = 0
+    for s in range(Rs.shape[0]):
+        C1 = -Rs[s].T @ ts[s]
+        b = C1 - C0
+        bn = np.linalg.norm(b)
+        if bn < 1e-9:
+            return ty * tx
+        e1 = b / bn
+        e2 = np.cross(R0[2], e1)
+        n2 = np.linalg.norm(e2)
+        if n2 < 1e-3:
+            return ty * tx
+        e2 = e2 / n2
+        R_rect = np.stack([e1, e2, np.cross(e1, e2)])
+        uv0 = corner_uv(R_rect @ R0.T, K0, W0, H0_)
+        uv1 = corner_uv(R_rect @ Rs[s].T, Ks[s], whs[s, 0], whs[s, 1])
+        if uv0 is None or uv1 is None:
+            return ty * tx
+        u = np.concatenate([uv0[0], uv1[0]])
+        v = np.concatenate([uv0[1], uv1[1]])
+        du = max(u.max() - u.min(), 1e-12)
+        dv = max(v.max() - v.min(), 1e-12)
+        f = min(f0, (wr - 1.0 - 2 * margin) / du, (hr - 1.0 - 2 * margin) / dv)
+        if not np.isfinite(f):
+            return ty * tx
+        # warped-ref footprint corners in rect px, then in bbox coords
+        # (the device anchors the bbox at floor((min - 2) / 8 or 128))
+        cx = margin - f * u.min()
+        cy = margin - f * v.min()
+        qx = f * uv0[0] + cx
+        qy = f * uv0[1] + cy
+        ox = np.clip(np.floor((qx.min() - 2.0) / 128.0) * 128.0, 0, wr - wb)
+        oy = np.clip(np.floor((qy.min() - 2.0) / 8.0) * 8.0, 0, hr - hb)
+        qx = qx - ox
+        qy = qy - oy
+        # rasterise the convex quad at tile granularity with a 1-px dilation
+        # (f32 vs f64 rounding slack); count tiles any corner band intersects
+        quad = np.stack([qx, qy], axis=1)
+        hull = quad[[0, 1, 3, 2]]                     # corner order -> hull
+        count = 0
+        for ti in range(ty):
+            y_lo, y_hi = ti * 8 - 1.0, ti * 8 + 9.0
+            # x-extent of the quad within this row band: clip hull edges
+            xs_band = []
+            for k in range(4):
+                (x1, y1), (x2, y2) = hull[k], hull[(k + 1) % 4]
+                if max(y1, y2) < y_lo or min(y1, y2) > y_hi:
+                    continue
+                for yc in (max(y_lo, min(y1, y2)), min(y_hi, max(y1, y2))):
+                    if abs(y2 - y1) > 1e-12:
+                        t = np.clip((yc - y1) / (y2 - y1), 0.0, 1.0)
+                        xs_band.append(x1 + t * (x2 - x1))
+                    else:
+                        xs_band.extend([x1, x2])
+            if not xs_band:
+                continue
+            j0 = int(np.floor((min(xs_band) - 1.0) / 128.0))
+            j1 = int(np.floor((max(xs_band) + 1.0) / 128.0))
+            count += max(0, min(j1, tx - 1) - max(j0, 0) + 1)
+        best = max(best, count)
+    if best <= 0:
+        return ty * tx
+    # the band rasterisation above already dilates by 1 px on each side
+    # (covering device f32-vs-host f64 rounding); a small cushion + quantise
+    # to 32 so shapes dedupe across problems
+    best = best + 16
+    return min(ty * tx, -(-best // 32) * 32)
+
+
 def rect_span_fits(ref_cam: Camera, src_cams: Cameras,
                    rect_hw: tuple[int, int], *, usable: int = 240,
                    min_scale: float = 1.0, max_scale: float = 1.0) -> bool:
@@ -411,24 +522,143 @@ def warp_to_rect(
     return val
 
 
+class TransportMaps(NamedTuple):
+    """One set of compacted plane/cost transport maps (full grid or one
+    checkerboard parity).
+
+    The kernel's compute space is the COMPACTED live-tile list: slot ``k``
+    of pair ``s`` holds the (8, 128) compute-grid tile ``tile`` whose content
+    origin is ``(tile_oy[s, k], tile_ox[s, k])`` (RectContext fields).  Only
+    live tiles (those claimed by some original pixel of this map's parity)
+    occupy slots, so per-invocation transport gathers and kernel grid steps
+    scale with the warped-ref footprint (~43% of the bbox at the bench
+    operating point), not the bbox.  Per-parity maps additionally halve the
+    transport: a propagation half-step only ever reads back costs at the
+    active colour's pixels (the reference's half-lattice launches,
+    ACMMP.cu:1327-1349).
+    """
+
+    fwd_idx: jax.Array    # (S, N*1024) int32: compact pixel -> source-table
+                          # row (original flat idx, or packed half-grid idx
+                          # y*(W//2) + x//2 for a parity map)
+    fwd_valid: jax.Array  # (S, N*8, 128) float32 0/1
+    bwd_cidx: jax.Array   # (S, M) int32: table row -> compact flat idx
+                          # (slot*1024 + within-tile); M = H*W or H*W//2
+    bwd_x: jax.Array      # (S, M) int32 claimed rect pixel, bbox coords
+    bwd_y: jax.Array      # (S, M) int32
+    bwd_valid: jax.Array  # (S, H, W) or (S, H, W//2) bool
+
+
+def build_transport_maps(
+    bwd_x: jax.Array,       # (S, H*W) int32 claimed rect pixel x (bbox coords)
+    bwd_y: jax.Array,       # (S, H*W) int32
+    bwd_ok: jax.Array,      # (S, H, W) bool
+    comp_hw: tuple[int, int],
+    hw: tuple[int, int],
+    oy: jax.Array,          # (S,) content-row offset of the bbox
+    ox: jax.Array,          # (S,)
+    live_n: "int | None" = None,
+    parity_maps: bool = True,
+):
+    """Compacted transport maps (full + per-parity) from the backward map.
+
+    Returns ``(maps, tile_oy, tile_ox)`` with ``maps`` a tuple of 1 or 3
+    :class:`TransportMaps` (full[, parity0, parity1]) sharing one live-tile
+    ordering, and ``tile_oy``/``tile_ox`` (S, N) int32 content-coordinate
+    tile origins for the kernel's window placement (SMEM tables).
+
+    ``live_n`` is the static slot budget N (rect_live_tile_count host
+    mirror); None keeps every tile (identity compaction).  Tiles are ordered
+    by live-pixel count, so an overflow beyond N (improbable under the
+    mirror's margin) drops only the emptiest boundary tiles -- their pixels
+    read back as invalid (cost_max) rather than corrupting neighbours.
+    """
+    from acmmp_spherical_tpu.ops.sampling import checkerboard_pack
+
+    hb, wb = comp_hw
+    H, W = hw
+    ty, tx = hb // 8, wb // 128
+    T = ty * tx
+    N = T if live_n is None else min(live_n, T)
+    S = bwd_x.shape[0]
+    okf = bwd_ok.reshape(S, -1)
+    tile_of = (bwd_y // 8) * tx + bwd_x // 128
+
+    if N == T:
+        tile_idx = jnp.tile(jnp.arange(T, dtype=jnp.int32)[None], (S, 1))
+        slot = jnp.where(okf, tile_of, 0)
+        okc = okf
+    else:
+        tgt = jnp.where(okf, tile_of, T)
+        counts = jax.vmap(
+            lambda t: jnp.zeros(T + 1, jnp.int32).at[t].add(1))(tgt)[:, :T]
+        tile_idx = jnp.argsort(-counts, axis=1).astype(jnp.int32)[:, :N]
+        tile_slot = jax.vmap(
+            lambda o: jnp.full((T,), -1, jnp.int32).at[o].set(
+                jnp.arange(N, dtype=jnp.int32)))(tile_idx)
+        slot = jax.vmap(lambda ts, t: ts[t])(tile_slot, tile_of)
+        okc = okf & (slot >= 0)
+        slot = jnp.maximum(slot, 0)
+
+    within = (bwd_y % 8) * 128 + bwd_x % 128
+    bwd_cidx = jnp.where(okc, slot * 1024 + within, 0)
+
+    oflat = jnp.arange(H * W, dtype=jnp.int32)
+
+    def fwd(cidx, ok):
+        t = jnp.where(ok, cidx, N * 1024)
+        fidx = jnp.zeros(N * 1024 + 1, jnp.int32).at[t].set(oflat)[:-1]
+        fval = jnp.zeros(N * 1024 + 1, jnp.float32).at[t].set(1.0)[:-1]
+        return fidx, fval
+
+    fwd_idx, fwd_val = jax.vmap(fwd)(bwd_cidx, okc)
+    maps = [TransportMaps(
+        fwd_idx=fwd_idx, fwd_valid=fwd_val.reshape(S, N * 8, 128),
+        bwd_cidx=bwd_cidx, bwd_x=bwd_x, bwd_y=bwd_y,
+        bwd_valid=okc.reshape(S, H, W))]
+
+    if parity_maps and H % 2 == 0 and W % 2 == 0:
+        # derived, no extra scatters: restrict the forward map to one
+        # colour's pixels and repoint it at the packed half-grid table
+        fy = fwd_idx // W
+        fx = fwd_idx % W
+        fpacked = fy * (W // 2) + fx // 2
+        fpar = (fy + fx) % 2
+
+        def packf(a):
+            return checkerboard_pack(a.reshape(S, H, W), p).reshape(S, -1)
+
+        for p in (0, 1):
+            sel = (fwd_val > 0.5) & (fpar == p)
+            maps.append(TransportMaps(
+                fwd_idx=jnp.where(sel, fpacked, 0),
+                fwd_valid=sel.astype(jnp.float32).reshape(S, N * 8, 128),
+                bwd_cidx=packf(bwd_cidx), bwd_x=packf(bwd_x),
+                bwd_y=packf(bwd_y),
+                bwd_valid=checkerboard_pack(
+                    okc.reshape(S, H, W), p)))
+
+    ti = tile_idx // tx
+    tj = tile_idx - ti * tx
+    tile_oy = oy[:, None].astype(jnp.int32) + 8 * ti
+    tile_ox = ox[:, None].astype(jnp.int32) + 128 * tj
+    return tuple(maps), tile_oy, tile_ox
+
+
 class RectContext(NamedTuple):
     """Per-pass rectified working set for the fast rectified NCC path."""
 
     pr: PairRect
     rect_ref: jax.Array   # (S, Hr+2*PAD_Y, Wr+2*PAD_X) clamp-warped reference
     rect_src: jax.Array   # (S, ..., ...) sentinel-warped sources
-    fwd_valid: jax.Array  # (S, Hb, Wb) float32 0/1: COMPUTE-grid pixel is read
-                          # back by some original pixel (the bwd scatter mask)
-    fwd_idx: jax.Array    # (S, Hb*Wb) int32: compute-grid pixel -> the orig
-                          # flat idx whose plane it evaluates (exact inverse
-                          # of the backward map; built ONCE per pass so the
-                          # per-invocation plane transport is a pure GATHER --
-                          # an XLA scatter row costs ~14x a gather row on
-                          # v5e, measured)
-    bwd_idx: jax.Array    # (S, H*W) int32: orig pixel -> nearest compute-grid
-                          # flat idx (bbox coords; add srow[2:4] offsets for
-                          # storage-frame coords)
-    bwd_valid: jax.Array  # (S, H, W) bool
+    maps: "tuple[TransportMaps, ...]"
+                          # compacted transport maps: (full,) or
+                          # (full, parity0, parity1); built ONCE per pass so
+                          # every kernel invocation transports plane
+                          # parameters with pure GATHERS (an XLA scatter row
+                          # costs ~14x a gather row on v5e, measured)
+    tile_oy: jax.Array    # (S, N) int32 live-tile content-row origins
+    tile_ox: jax.Array    # (S, N) int32 live-tile content-col origins
     srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi (window guard),
                           # [2]=oy, [3]=ox ((8,128)-aligned compute-grid
                           # offset into the storage frame), [4]=orig px per
@@ -455,6 +685,9 @@ def build_rect_context(
                                              # (rect_comp_shape); None = full
     src_depths: jax.Array | None = None,  # (S, Hp, Wp): also build rect_sdisp
                                           # for geometric-consistency passes
+    live_n: "int | None" = None,          # static live-tile budget
+                                          # (rect_live_tile_count); None = all
+    parity_maps: bool = True,             # also build per-parity maps
 ) -> RectContext:
     """Build the per-pass rectified working set (all XLA; one per pass)."""
     from acmmp_spherical_tpu.ops.sampling import grid_coords, pack_bicubic
@@ -495,7 +728,9 @@ def build_rect_context(
             img, H1inv, wd, ht, (hr, wr), sentinel=True, packed16=pk)
     )(src_images, src_p16, pr.H1inv, src_cams.width, src_cams.height)
 
-    # backward map: original pixel -> nearest rect pixel
+    # backward map: original pixel -> nearest rect pixel (bbox coords), then
+    # the compacted transport maps (full + per-parity) -- the only scatters
+    # of the pass live inside build_transport_maps, amortised
     xs_o, ys_o = grid_coords(H, W)
 
     def bwd(H0, oy, ox):
@@ -503,28 +738,14 @@ def build_rect_context(
         xb = jnp.round(xr) - ox            # compute-grid (bbox) coords
         yb = jnp.round(yr) - oy
         ok = (z > 0) & (xb >= 0) & (xb < wb) & (yb >= 0) & (yb < hb)
-        idx = (jnp.clip(yb, 0, hb - 1).astype(jnp.int32) * wb
-               + jnp.clip(xb, 0, wb - 1).astype(jnp.int32))
-        return idx.reshape(-1), ok
+        xbi = jnp.clip(xb, 0, wb - 1).astype(jnp.int32)
+        ybi = jnp.clip(yb, 0, hb - 1).astype(jnp.int32)
+        return xbi.reshape(-1), ybi.reshape(-1), ok
 
-    bwd_idx, bwd_valid = jax.vmap(bwd)(pr.H0, off_y, off_x)
-
-    # forward map + liveness: for every compute-grid pixel, the original
-    # pixel whose plane it evaluates -- the exact inverse of the backward map
-    # (collisions: last writer wins; rare at f_rect == f_ref).  Built ONCE
-    # per pass; each kernel invocation transports plane parameters with a
-    # pure GATHER through it (an XLA scatter row costs ~14x a gather row on
-    # v5e, measured -- the scatter lives here, amortised).
-    oflat = jnp.arange(H * W, dtype=jnp.int32)
-
-    def fwd_map(bidx, bok):
-        tgt = jnp.where(bok, bidx, hb * wb)  # hb*wb = discard slot
-        m = jnp.zeros((hb * wb + 1,), jnp.float32).at[tgt].set(1.0)[:-1]
-        idx = jnp.zeros((hb * wb + 1,), jnp.int32).at[tgt].set(oflat)[:-1]
-        return idx, m.reshape(hb, wb)
-
-    fwd_idx, fwd_valid = jax.vmap(fwd_map)(
-        bwd_idx, bwd_valid.reshape(bwd_valid.shape[0], -1))
+    bwd_x, bwd_y, bwd_ok = jax.vmap(bwd)(pr.H0, off_y, off_x)
+    maps, tile_oy, tile_ox = build_transport_maps(
+        bwd_x, bwd_y, bwd_ok, (hb, wb), (H, W), off_y, off_x,
+        live_n=live_n, parity_maps=parity_maps)
 
     dmin, dmax = depth_range[0], depth_range[1]
     fB = pr.K[:, 0] * pr.baseline
@@ -572,9 +793,8 @@ def build_rect_context(
             src_cams.width, src_cams.height)
 
     return RectContext(pr=pr, rect_ref=rect_ref, rect_src=rect_src,
-                       fwd_valid=fwd_valid, fwd_idx=fwd_idx,
-                       bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow,
-                       rect_sdisp=rect_sdisp)
+                       maps=maps, tile_oy=tile_oy, tile_ox=tile_ox,
+                       srow=srow, rect_sdisp=rect_sdisp)
 
 
 def host_rectifiable(ref_cam: Camera, src_cams: Cameras,

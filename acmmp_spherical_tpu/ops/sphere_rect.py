@@ -52,10 +52,10 @@ class SphereRectContext(NamedTuple):
     rect_ref: jax.Array   # (S, Wt+2*PAD_Y, Ht+2*PAD_X) transposed rotated
                           # equirect reference (rows=lon, lanes=lat)
     rect_src: jax.Array   # (S, ..., ...) transposed rotated sources
-    fwd_idx: jax.Array    # (S, Wt*Ht) int32: compute pixel -> orig flat idx
-    fwd_valid: jax.Array  # (S, Wt, Ht) float32 0/1
-    bwd_idx: jax.Array    # (S, H*W) int32: orig pixel -> compute flat idx
-    bwd_valid: jax.Array  # (S, H, W) bool
+    maps: tuple           # compacted transport maps (full[, p0, p1]); see
+                          # rectify.TransportMaps
+    tile_oy: jax.Array    # (S, N) int32 live-tile row origins (SMEM tables)
+    tile_ox: jax.Array    # (S, N) int32
     srow: jax.Array       # (S, 128): [0]=disp_lo, [1]=disp_hi, [2]=[3]=0,
                           # [4]=1 (geom-error scale: lane pixels and original
                           # equirect pixels share the H/pi-per-radian scale)
@@ -104,6 +104,10 @@ def build_sphere_rect_context(
     depth_range,             # (dmin, dmax) traced scalars
     lat_cap_deg: float = LAT_CAP_DEG,
     src_depths: jax.Array | None = None,  # (S, Hp, Wp): also build rect_sdisp
+    live_n: "int | None" = None,          # static live-tile budget (the
+                                          # rotated frame is mostly live, so
+                                          # None = identity is the default)
+    parity_maps: bool = True,
 ) -> SphereRectContext:
     """Build the per-pass pole-rotated working set (all XLA; one per pass)."""
     from acmmp_spherical_tpu.core import geometry as G
@@ -221,21 +225,21 @@ def build_sphere_rect_context(
         row = jnp.remainder(jnp.round(rowf).astype(jnp.int32), W)
         lane = jnp.round(lanef).astype(jnp.int32)
         ok = (jnp.abs(lat_r) <= lat_cap) & (lane >= 0) & (lane < H)
-        idx = row * Ht + jnp.clip(lane, 0, Ht - 1)
-        return idx.reshape(-1), ok, row, lane
+        return row, lane, ok, row, lane
 
-    bwd_idx, bwd_valid, row_q, lane_q = jax.vmap(bwd)(R_rot)
+    bwd_row, bwd_lane, bwd_valid, row_q, lane_q = jax.vmap(bwd)(R_rot)
 
-    # ---- forward map (the once-per-pass scatter) ---------------------------
-    oflat = jnp.arange(H * W, dtype=jnp.int32)
+    # ---- compacted transport maps (the once-per-pass scatters) -------------
+    # the transposed frame's "x" axis is the lane (latitude), "y" the row
+    # (longitude); live tiles are those inside the per-pair latitude caps
+    from acmmp_spherical_tpu.ops.rectify import build_transport_maps
 
-    def fwd_map(bidx, bok):
-        tgt = jnp.where(bok.reshape(-1), bidx, Wt * Ht)
-        m = jnp.zeros((Wt * Ht + 1,), jnp.float32).at[tgt].set(1.0)[:-1]
-        idx = jnp.zeros((Wt * Ht + 1,), jnp.int32).at[tgt].set(oflat)[:-1]
-        return idx, m.reshape(Wt, Ht)
-
-    fwd_idx, fwd_valid = jax.vmap(fwd_map)(bwd_idx, bwd_valid)
+    S = R_rot.shape[0]
+    zero = jnp.zeros((S,), jnp.int32)
+    maps, tile_oy, tile_ox = build_transport_maps(
+        jnp.clip(bwd_lane, 0, Ht - 1).reshape(S, -1),
+        bwd_row.reshape(S, -1), bwd_valid, (Wt, Ht), (H, W), zero, zero,
+        live_n=live_n, parity_maps=parity_maps)
 
     # ---- hoisted target rays (center, +1 lane, +1 row) ---------------------
     def targets(Rr, row, lane):
@@ -277,8 +281,8 @@ def build_sphere_rect_context(
     srow = srow.at[:, 4].set(1.0)
 
     return SphereRectContext(
-        rect_ref=rect_ref, rect_src=rect_src, fwd_idx=fwd_idx,
-        fwd_valid=fwd_valid, bwd_idx=bwd_idx, bwd_valid=bwd_valid, srow=srow,
+        rect_ref=rect_ref, rect_src=rect_src, maps=maps,
+        tile_oy=tile_oy, tile_ox=tile_ox, srow=srow,
         rays_cam=rays_cam, rect_sdisp=rect_sdisp, slat=slat, lat=lat,
         baseline=Bn,
     )
@@ -287,46 +291,65 @@ def build_sphere_rect_context(
 import functools
 
 
+def _pack_hw_axes(arr: jax.Array, parity: int):
+    """checkerboard_pack over axes (1, 2) of (S, H, W, ...) hoisted arrays."""
+    even = arr[:, 0::2, parity::2]
+    odd = arr[:, 1::2, (1 - parity)::2]
+    stacked = jnp.stack([even, odd], axis=2)   # (S, H/2, 2, W/2, ...)
+    return stacked.reshape(arr.shape[0], arr.shape[1], arr.shape[2] // 2,
+                           *arr.shape[3:])
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("params", "interpret", "with_geom"))
+                   static_argnames=("params", "interpret", "with_geom",
+                                    "parity"))
 def sphere_batched_ncc(
     ctx: SphereRectContext,
-    normals: jax.Array,    # (C, H, W, 3) plane normals (ref-cam frame)
-    ws: jax.Array,         # (C, H, W)
+    normals: jax.Array,    # (C, H, Wg, 3) plane normals (ref-cam frame)
+    ws: jax.Array,         # (C, H, Wg)
     params,
     *,
     interpret: bool = False,
     with_geom: bool = False,  # also emit the fused geom cost -> (cv, gv)
+    parity: "int | None" = None,  # 0/1: checkerboard-packed half-grid fields
 ):
-    """Evaluate C candidate plane fields against S sources -> (C, S, H, W).
+    """Evaluate C candidate plane fields against S sources -> (C, S, H, Wg).
 
     XLA pre-step: for each original pixel's claimed target (and its +1 lane /
     +1 row neighbours, hoisted in the context), the plane depth along the
     target ray gives the latitude displacement; finite differences yield the
     kernel's affine (D, A, B).  Transport/back-map identical to the pinhole
-    wrapper (wide-row gathers through the per-pass maps).
+    wrapper (wide-row gathers through the per-pass compacted maps; parity
+    maps halve them for half-step evaluations).
     """
     from acmmp_spherical_tpu.ops.pallas.ncc_rect import (
         pack_ab, run_rect_kernel,
     )
 
-    C, H, W = ws.shape
+    C, H_eval, Wg = ws.shape
+    maps = ctx.maps[0 if parity is None else 1 + parity]
     S = ctx.baseline.shape[0]
-    Wt, Ht = ctx.fwd_valid.shape[1:]
+    H = ctx.rays_cam.shape[1]                       # original height
     Bn = ctx.baseline[:, None, None, None]          # (S, 1, 1, 1)
-    wsl = jnp.moveaxis(ws, 0, -1)[None]             # (1, H, W, C)
+    wsl = jnp.moveaxis(ws, 0, -1)[None]             # (1, H, Wg, C)
+    if parity is None:
+        rays, slat_a, lat_a = ctx.rays_cam, ctx.slat, ctx.lat
+    else:
+        rays = _pack_hw_axes(ctx.rays_cam, parity)
+        slat_a = _pack_hw_axes(ctx.slat, parity)
+        lat_a = _pack_hw_axes(ctx.lat, parity)
 
     disps, oks = [], []
     for k in range(3):
-        ndot = jnp.einsum("chwj,shwj->shwc", normals, ctx.rays_cam[..., k, :],
+        ndot = jnp.einsum("chwj,shwj->shwc", normals, rays[..., k, :],
                           precision=_HI)
         d = -wsl / jnp.where(jnp.abs(ndot) < 1e-20, 1e-20, ndot)
-        sl = ctx.slat[..., k][..., None]
+        sl = slat_a[..., k][..., None]
         cl = jnp.sqrt(jnp.maximum(1.0 - sl * sl, 1e-12))
         u = d * sl + Bn
         v = d * cl
         lat_s = jnp.arctan2(u, v)
-        disp = (lat_s - ctx.lat[..., k][..., None]) * (H / PI)
+        disp = (lat_s - lat_a[..., k][..., None]) * (H / PI)
         disps.append(disp)
         oks.append((d > 0) & (v > 0) & jnp.isfinite(disp))
     good = oks[0] & oks[1] & oks[2]
@@ -334,18 +357,19 @@ def sphere_batched_ncc(
     A = jnp.where(good, disps[1] - disps[0], 0.0)
     Bc = jnp.where(good, disps[2] - disps[0], 0.0)
     # (A, B) ride bf16-packed in one f32 lane (pack_ab): the forward gather
-    # is per-element cost, so 2 floats per candidate instead of 3
-    table = jnp.stack([D, pack_ab(A, Bc)], -1).reshape(S, H * W, C * 2)
+    # cost scales with width, so 2 floats per candidate instead of 3
+    table = jnp.stack([D, pack_ab(A, Bc)], -1).reshape(S, H_eval * Wg, C * 2)
 
-    dab = jax.vmap(lambda t, idx: t[idx])(table, ctx.fwd_idx)
-    dab = dab.reshape(S, Wt, Ht, C, 2)
-    D = dab[..., 0].transpose(3, 0, 1, 2)           # (C, S, Wt, Ht)
+    K8 = maps.fwd_valid.shape[1]
+    dab = jax.vmap(lambda t, idx: t[idx])(table, maps.fwd_idx)
+    dab = dab.reshape(S, K8, 128, C, 2)
+    D = dab[..., 0].transpose(3, 0, 1, 2)           # (C, S, K8, 128)
     AB = dab[..., 1].transpose(3, 0, 1, 2)
-    D = jnp.where(ctx.fwd_valid[None] > 0.5, D, -1e9)
+    D = jnp.where(maps.fwd_valid[None] > 0.5, D, -1e9)
     sdisp = ctx.rect_sdisp if with_geom else None
     return run_rect_kernel(ctx.srow, ctx.rect_ref, ctx.rect_src, D, AB,
-                           ctx.fwd_valid, ctx.bwd_idx, ctx.bwd_valid, params,
-                           out_hw=(H, W), interpret=interpret,
+                           maps, ctx.tile_oy, ctx.tile_ox, params,
+                           out_hw=(H_eval, Wg), interpret=interpret,
                            rect_sdisp=sdisp)
 
 

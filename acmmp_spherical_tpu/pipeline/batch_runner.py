@@ -74,11 +74,13 @@ def _chunks(sp: ScenePaths, problems: Sequence[Problem], order, cfg,
             mesh, *, geom: bool, multi_geometry: bool):
     """Load problems into device-count-sized chunks of uniform shape.
 
-    Problems are grouped by their (ref shape, src-stack shape) so every chunk
-    is one XLA program; groups flush as they fill, trailing partial groups are
-    padded by repeating the last member (padded results are not written).
-    Mode flags that the per-problem gates may set differently (rect_ncc) are
-    AND-reduced over the chunk so one static params serves it.
+    Problems are grouped by (ref shape, src-stack shape, camera model,
+    rect-eligibility) so every chunk is one XLA program; groups flush as they
+    fill, trailing partial groups are padded by repeating the last member
+    (padded results are not written).  Rect-eligibility is part of the key so
+    one degenerate (non-rectifiable) problem never demotes its chunk-mates to
+    the slow path; remaining per-problem rect knobs (compute bbox, init
+    window) are max-reduced over the chunk in _make_chunk.
     """
     n_dev = mesh.devices.size
     groups: dict = {}
@@ -86,7 +88,7 @@ def _chunks(sp: ScenePaths, problems: Sequence[Problem], order, cfg,
         lp, params = load_problem(sp, problems, idx, cfg, geom=geom,
                                   multi_geometry=multi_geometry)
         key = (lp.inputs.ref_image.shape, lp.inputs.src_images.shape,
-               lp.ref_cam.model)
+               lp.ref_cam.model, params.rect_ncc)
         g = groups.setdefault(key, ([], [], []))
         g[0].append(idx)
         g[1].append(lp)
@@ -105,17 +107,22 @@ def _make_chunk(g, n_dev) -> _Chunk:
         lps.append(lps[-1])
     params = plist[0]
     if any(p.rect_ncc != params.rect_ncc for p in plist):
+        # unreachable since rect_ncc is part of the grouping key; kept as a
+        # safety net for callers that build chunks by hand
         params = dataclasses.replace(params, rect_ncc=False,
-                                     rect_comp_hw=None, rect_init=False)
+                                     rect_comp_hw=None, rect_live_n=None,
+                                     rect_init=False)
     elif params.rect_ncc:
         # one static compute grid per chunk: the max bbox over its problems;
-        # the init window likewise maxes (wider only adds coverage), and
-        # rect_init holds only if EVERY problem's span fits its window
+        # the live-tile budget and init window likewise max (wider only adds
+        # coverage), and rect_init holds only if EVERY problem's span fits
         hws = [p.rect_comp_hw for p in plist]
         hw = (None if any(h is None for h in hws)
               else (max(h[0] for h in hws), max(h[1] for h in hws)))
+        lns = [p.rect_live_n for p in plist]
+        ln = None if any(n is None for n in lns) else max(lns)
         params = dataclasses.replace(
-            params, rect_comp_hw=hw,
+            params, rect_comp_hw=hw, rect_live_n=ln,
             rect_init=all(p.rect_init for p in plist),
             rect_init_win=max(p.rect_init_win for p in plist))
     return _Chunk(indices=list(idxs), lps=lps, params=params)

@@ -129,7 +129,8 @@ def load_problem(
         # disparity-mismatch consistency term); the per-problem host gate
         # rejects forward-motion / degenerate pairs
         from acmmp_spherical_tpu.ops.rectify import (
-            host_rectifiable, rect_comp_shape, rect_init_window, rect_shape,
+            host_rectifiable, rect_comp_shape, rect_init_window,
+            rect_live_tile_count, rect_shape,
         )
 
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
@@ -138,9 +139,10 @@ def load_problem(
             iwin = rect_init_window(ref_cam, stacked, rhw,
                                     min_scale=cfg.depth_min_scale,
                                     max_scale=cfg.depth_max_scale)
+            chw = rect_comp_shape(ref_cam, stacked, rhw)
             params = dataclasses.replace(
-                params, rect_ncc=True,
-                rect_comp_hw=rect_comp_shape(ref_cam, stacked, rhw),
+                params, rect_ncc=True, rect_comp_hw=chw,
+                rect_live_n=rect_live_tile_count(ref_cam, stacked, rhw, chw),
                 rect_init=iwin > 0, rect_init_win=iwin or 384)
     if ref_cam.model == "sphere" and (
         cfg.rect_ncc == "on"

@@ -109,10 +109,12 @@ def main() -> None:
     fast = jax.default_backend() == "tpu"
     rect = False
     comp_hw = None
+    live_n = None
     iwin = 0
     if fast:
         from acmmp_spherical_tpu.ops.rectify import (
-            host_rectifiable, rect_comp_shape, rect_init_window, rect_shape,
+            host_rectifiable, rect_comp_shape, rect_init_window,
+            rect_live_tile_count, rect_shape,
         )
 
         rhw = rect_shape(H, W)
@@ -120,13 +122,14 @@ def main() -> None:
         rect = host_rectifiable(cams[0], stacked, rhw)
         if rect:
             comp_hw = rect_comp_shape(cams[0], stacked, rhw)
+            live_n = rect_live_tile_count(cams[0], stacked, rhw, comp_hw)
             iwin = rect_init_window(cams[0], stacked, rhw)
     print(f"[bench] fast_ncc={fast} rect_ncc={rect} comp_hw={comp_hw} "
-          f"init_win={iwin}", file=sys.stderr)
+          f"live_n={live_n} init_win={iwin}", file=sys.stderr)
     params = dataclasses.replace(
         PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=fast,
-        rect_ncc=rect, rect_comp_hw=comp_hw, rect_init=iwin > 0,
-        rect_init_win=iwin or 384,
+        rect_ncc=rect, rect_comp_hw=comp_hw, rect_live_n=live_n,
+        rect_init=iwin > 0, rect_init_win=iwin or 384,
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(

@@ -53,8 +53,9 @@ def main():
     from acmmp_spherical_tpu.ops.ncc import ref_tap_context
     from acmmp_spherical_tpu.ops.rectify import (
         build_rect_context, host_rectifiable, rect_comp_shape,
-        rect_init_window, rect_shape,
+        rect_init_window, rect_live_tile_count, rect_shape,
     )
+    from acmmp_spherical_tpu.ops.sampling import checkerboard_pack
     from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
     from acmmp_spherical_tpu.utils.synthetic import (
         CubeRoom, make_ring_of_cameras, render_scene,
@@ -77,11 +78,14 @@ def main():
     rhw = rect_shape(H, W)
     stacked = stack_cameras(cams[1:])
     comp_hw = rect_comp_shape(cams[0], stacked, rhw)
+    live_n = rect_live_tile_count(cams[0], stacked, rhw, comp_hw)
     iwin = rect_init_window(cams[0], stacked, rhw)
+    T = (comp_hw[0] // 8) * (comp_hw[1] // 128)
+    print(f"live_n={live_n} of T={T} ({live_n/T:.2f})")
     params = dataclasses.replace(
         PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=True,
-        rect_ncc=True, rect_comp_hw=comp_hw, rect_init=iwin > 0,
-        rect_init_win=iwin or 384,
+        rect_ncc=True, rect_comp_hw=comp_hw, rect_live_n=live_n,
+        rect_init=iwin > 0, rect_init_win=iwin or 384,
         rect_prescreen=args.prescreen,
     )
     images_d = jax.device_put(jnp.asarray(images))
@@ -110,17 +114,23 @@ def main():
     t_init, state = fence(init_fn, inputs2, ctx, jax.random.key(0))
     print(f"initialize_state (rect_init={params.rect_init}): {t_init*1e3:8.1f} ms")
 
-    # --- one C=9 propagation-batch invocation -------------------------------
+    # --- one C=9 propagation-batch invocation (full grid + parity-packed) ---
     n9 = jnp.repeat(state.normal[None], 9, 0)
     w9 = jnp.repeat(state.w[None], 9, 0)
     inv = jax.jit(lambda inp, c, n, w: _batched_cost_vectors(
         inp, c, params, n, w)[0])
     t9, _ = fence(inv, inputs2, ctx, n9, w9)
-    print(f"rect_batched_ncc C=9: {t9*1e3:8.1f} ms")
-    t5, _ = fence(inv, inputs2, ctx, n9[:5], w9[:5])
-    print(f"rect_batched_ncc C=5: {t5*1e3:8.1f} ms")
+    print(f"rect_batched_ncc C=9 (full): {t9*1e3:8.1f} ms")
+    invp = jax.jit(lambda inp, c, n, w: _batched_cost_vectors(
+        inp, c, params, n, w, parity=0)[0])
+    n9p = jnp.moveaxis(checkerboard_pack(jnp.moveaxis(n9, -1, 1), 0), 1, -1)
+    w9p = checkerboard_pack(w9, 0)
+    t9p, _ = fence(invp, inputs2, ctx, n9p, w9p)
+    print(f"rect_batched_ncc C=9 (parity-packed): {t9p*1e3:8.1f} ms")
+    t5p, _ = fence(invp, inputs2, ctx, n9p[:5], w9p[:5])
+    print(f"rect_batched_ncc C=5 (parity-packed): {t5p*1e3:8.1f} ms")
     t1, _ = fence(inv, inputs2, ctx, n9[:1], w9[:1])
-    print(f"rect_batched_ncc C=1: {t1*1e3:8.1f} ms")
+    print(f"rect_batched_ncc C=1 (full): {t1*1e3:8.1f} ms")
 
     # --- one halfstep -------------------------------------------------------
     hs = jax.jit(lambda st, inp, c, k: checkerboard_halfstep(

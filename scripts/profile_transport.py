@@ -71,12 +71,14 @@ def main():
     dmin, dmax = np.asarray(cams[0].depth_range)
     rhw = rect_shape(H, W)
     stacked = stack_cameras(cams[1:])
+    from acmmp_spherical_tpu.ops.rectify import rect_live_tile_count
     comp_hw = rect_comp_shape(cams[0], stacked, rhw)
+    live_n = rect_live_tile_count(cams[0], stacked, rhw, comp_hw)
     iwin = rect_init_window(cams[0], stacked, rhw)
     params = dataclasses.replace(
         PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=True,
-        rect_ncc=True, rect_comp_hw=comp_hw, rect_init=iwin > 0,
-        rect_init_win=iwin or 384,
+        rect_ncc=True, rect_comp_hw=comp_hw, rect_live_n=live_n,
+        rect_init=iwin > 0, rect_init_win=iwin or 384,
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(
@@ -87,7 +89,7 @@ def main():
     dr = (jnp.float32(dmin), jnp.float32(dmax))
     rect = jax.jit(lambda: build_rect_context(
         inputs.ref_image, inputs.src_images, inputs.ref_cam, inputs.src_cams,
-        dr, comp_hw=comp_hw))()
+        dr, comp_hw=comp_hw, live_n=live_n))()
     jax.block_until_ready(rect)
     inputs2 = prepare_inputs(inputs, params)
     ctx = ref_tap_context(inputs.ref_image, cams[0], params)
@@ -96,9 +98,10 @@ def main():
     normals = jnp.repeat(state.normal[None], C, 0)
     ws = jnp.repeat(state.w[None], C, 0)
 
-    S = rect.bwd_idx.shape[0]
-    Hr, Wr = rect.fwd_valid.shape[1:]
-    print(f"S={S} C={C} H={H} W={W} Hr={Hr} Wr={Wr}")
+    maps = rect.maps[0]
+    S = maps.bwd_cidx.shape[0]
+    K8 = maps.fwd_valid.shape[1]
+    print(f"S={S} C={C} H={H} W={W} compact K8={K8} (live tiles {K8//8})")
 
     # ---- stage 1: coefficient einsum + stack to (S, HW, 3C) ----------------
     def stage1(normals, ws):
@@ -117,17 +120,17 @@ def main():
     t1, table = fence(j1, normals, ws)
     print(f"stage1 einsum+stack -> (S, HW, 3C): {t1*1e3:8.1f} ms")
 
-    # ---- stage 2: forward gather onto rect grids ---------------------------
+    # ---- stage 2: forward gather onto the compacted live tiles -------------
     def stage2(table):
-        return jax.vmap(lambda t, idx: t[idx])(table, rect.fwd_idx)
+        return jax.vmap(lambda t, idx: t[idx])(table, maps.fwd_idx)
 
     j2 = jax.jit(stage2)
     t2, abc = fence(j2, table)
-    print(f"stage2 fwd row-gather (S, HrWr, 3C): {t2*1e3:8.1f} ms")
+    print(f"stage2 fwd row-gather (S, K8*128, 3C): {t2*1e3:8.1f} ms")
 
-    # ---- stage 3: reshape/transpose to (C, S, Hr, Wr) x3 -------------------
+    # ---- stage 3: reshape/transpose to (C, S, K8, 128) x3 ------------------
     def stage3(abc):
-        a = abc.reshape(S, Hr, Wr, C, 3)
+        a = abc.reshape(S, K8, 128, C, 3)
         A = a[..., 0].transpose(3, 0, 1, 2)
         B = a[..., 1].transpose(3, 0, 1, 2)
         ct = a[..., 2].transpose(3, 0, 1, 2)
@@ -135,24 +138,18 @@ def main():
 
     j3 = jax.jit(stage3)
     t3, (A, B, ct) = fence(j3, abc)
-    print(f"stage3 transpose -> 3x (C, S, Hr, Wr): {t3*1e3:8.1f} ms")
+    print(f"stage3 transpose -> 3x (C, S, K8, 128): {t3*1e3:8.1f} ms")
 
-    # ---- stage 4: D evaluation + finite mask -------------------------------
+    # ---- stage 4: D eval is folded into stage1 in production ---------------
     def stage4(A, B, ct):
-        cx = rect.pr.K[:, 1][None, :, None, None]
-        cy = rect.pr.K[:, 2][None, :, None, None]
-        off_x = rect.srow[:, 3][None, :, None, None]
-        off_y = rect.srow[:, 2][None, :, None, None]
-        xr = off_x + jax.lax.broadcasted_iota(jnp.float32, (1, S, Hr, Wr), 3)
-        yr = off_y + jax.lax.broadcasted_iota(jnp.float32, (1, S, Hr, Wr), 2)
-        D = A * (xr - cx) + B * (yr - cy) + ct
+        D = A * 0.0 + B * 0.0 + ct
         finite = (jnp.isfinite(D) & (jnp.abs(D) < 1e8)
-                  & (rect.fwd_valid[None] > 0.5))
+                  & (maps.fwd_valid[None] > 0.5))
         return jnp.where(finite, D, -1e9)
 
     j4 = jax.jit(stage4)
     t4, D = fence(j4, A, B, ct)
-    print(f"stage4 D + finite mask: {t4*1e3:8.1f} ms")
+    print(f"stage4 finite mask: {t4*1e3:8.1f} ms")
 
     # ---- stage 5: pallas kernel only ---------------------------------------
     def stage5(D, A, B):
@@ -160,25 +157,28 @@ def main():
                                    with_geom=False)
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
-        ty, tx = Hr // NR.TILE_H, Wr // NR.TILE_W
+        N = K8 // NR.TILE_H
         win_w = params.rect_win_w or 384
         r = params.patch_size // 2
         n_taps = len(range(-r, r + 1, params.radius_increment)) ** 2
         cdab = lambda: pl.BlockSpec((C, 1, NR.TILE_H, NR.TILE_W),
-                                    lambda s, i, j: (0, s, i, j))
+                                    lambda s, k: (0, s, k, 0))
+        smem = lambda: pl.BlockSpec((S, N), lambda s, k: (0, 0),
+                                    memory_space=pltpu.SMEM)
         return pl.pallas_call(
             kernel,
-            grid=(S, ty, tx),
+            grid=(S, N),
             in_specs=[
-                pl.BlockSpec((1, 1, 128), lambda s, i, j: (s, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                cdab(), cdab(), cdab(),
+                pl.BlockSpec((1, 1, 128), lambda s, k: (s, 0, 0)),
+                smem(), smem(),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                cdab(), cdab(),
                 pl.BlockSpec((1, NR.TILE_H, NR.TILE_W),
-                             lambda s, i, j: (s, i, j)),
+                             lambda s, k: (s, k, 0)),
             ],
             out_specs=cdab(),
-            out_shape=jax.ShapeDtypeStruct((C, S, Hr, Wr), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((C, S, K8, 128), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((NR.WIN_H, NR.REF_WIN_W), jnp.float32),
                 pltpu.VMEM((2, NR.WIN_H, win_w), jnp.float32),
@@ -188,8 +188,8 @@ def main():
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
-        )(rect.srow[:, None, :], rect.rect_ref, rect.rect_src, D, A, B,
-          rect.fwd_valid)
+        )(rect.srow[:, None, :], rect.tile_oy, rect.tile_ox,
+          rect.rect_ref, rect.rect_src, D, NR.pack_ab(A, B), maps.fwd_valid)
 
     j5 = jax.jit(stage5)
     t5, cost = fence(j5, D, A, B)
@@ -197,10 +197,11 @@ def main():
 
     # ---- stage 6: backmap ----------------------------------------------------
     def stage6(cost):
-        back = cost.reshape(C, S, Hr * Wr).transpose(1, 2, 0)
-        picked = jax.vmap(lambda t, idx: t[idx])(back, rect.bwd_idx)
+        back = cost.reshape(C, S, K8 * 128).transpose(1, 2, 0)
+        picked = jax.vmap(lambda t, idx: t[idx])(back, maps.bwd_cidx)
         out = picked.transpose(2, 0, 1).reshape(C, S, H, W)
-        return jnp.where(rect.bwd_valid[None], out, params.cost_max)
+        return jnp.where(maps.bwd_valid.reshape(1, S, H, W), out,
+                         params.cost_max)
 
     j6 = jax.jit(stage6)
     t6, _ = fence(j6, cost)

@@ -67,6 +67,11 @@ def _write_synthetic_colmap(root, n_views=5, n_points=400):
         f.write("# cameras\n")
         f.write(f"1 PINHOLE {W} {H} {K[0,0]} {K[1,1]} {K[0,2]} {K[1,2]}\n")
 
+    # points observed by < 2 views are dropped from points3D.txt; real COLMAP
+    # marks their 2D observations with point id -1 (the reference converter
+    # indexes points3d[pid] directly and would crash otherwise)
+    kept = {p + 1 for p, track in tracks.items() if len(track) >= 2}
+
     with open(sparse / "images.txt", "w") as f:
         f.write("# images\n")
         for v in range(n_views):
@@ -74,7 +79,9 @@ def _write_synthetic_colmap(root, n_views=5, n_points=400):
             t = np.asarray(cams[v].t)
             f.write(f"{v+1} {q[0]} {q[1]} {q[2]} {q[3]} "
                     f"{t[0]} {t[1]} {t[2]} 1 view{v}.png\n")
-            f.write(" ".join(f"{x} {y} {pid}" for x, y, pid in obs[v]) + "\n")
+            f.write(" ".join(
+                f"{x} {y} {pid if pid in kept else -1}"
+                for x, y, pid in obs[v]) + "\n")
             cv2.imwrite(str(imgdir / f"view{v}.png"),
                         np.clip(images[v], 0, 255).astype(np.uint8))
 
@@ -198,3 +205,72 @@ def test_inverse_depth_plane_count_max_d_zero():
     np.testing.assert_allclose(dmax, exp_dmax)
     assert dnum == int((1.0 - exp_dmin / exp_dmax) * (fx + 1.0))
     np.testing.assert_allclose(dint, (dmax - dmin) / (dnum - 1))
+
+
+def test_converter_parity_with_reference_script(tmp_path):
+    """Drop-in interchangeability evidence: run the REFERENCE's own converter
+    (/root/reference/colmap2mvsnet_acm.py, pure Python) on the same synthetic
+    COLMAP model and assert our converter produces equivalent cams/*.txt and
+    pair.txt (numerically, modulo float formatting).
+
+    Reference: colmap2mvsnet_acm.py:365-397 (writers), 222-363 (pair logic).
+    """
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    ref_script = Path("/root/reference/colmap2mvsnet_acm.py")
+    if not ref_script.exists():
+        pytest.skip("reference converter not available")
+
+    root = tmp_path / "colmap"
+    root.mkdir()
+    _write_synthetic_colmap(root)
+    out_ref = tmp_path / "scene_ref"
+    out_our = tmp_path / "scene_our"
+    opts = dict(top_k=4, min_shared=5, theta0=0.05)
+
+    r = subprocess.run(
+        [sys.executable, str(ref_script), "--dense_folder", str(root),
+         "--save_folder", str(out_ref), "--top_k", "4", "--min_shared", "5",
+         "--theta0", "0.05", "--chunksize", "1"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    convert_colmap_scene(root, out_our, ConvertOptions(**opts))
+
+    def parse_pairs(path):
+        """pair.txt -> {ref_id: [(src_id, score), ...]} (raw, incl. scores)."""
+        toks = iter(path.read_text().split())
+        n = int(next(toks))
+        out = {}
+        for _ in range(n):
+            rid = int(next(toks))
+            m = int(next(toks))
+            out[rid] = [(int(next(toks)), float(next(toks)))
+                        for _ in range(m)]
+        return out
+
+    ref_pairs = parse_pairs(out_ref / "pair.txt")
+    our_pairs = parse_pairs(out_our / "pair.txt")
+    assert set(ref_pairs) == set(our_pairs)
+    for i, rp in ref_pairs.items():
+        op = our_pairs[i]
+        assert [s for s, _ in rp] == [s for s, _ in op], i
+        np.testing.assert_allclose([sc for _, sc in rp], [sc for _, sc in op],
+                                   rtol=1e-6)
+
+    for i in sorted(ref_pairs):
+        cr = read_camera_file(out_ref / "cams" / f"{i:08d}_cam.txt")
+        co = read_camera_file(out_our / "cams" / f"{i:08d}_cam.txt")
+        np.testing.assert_allclose(np.asarray(co.R), np.asarray(cr.R),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(co.t), np.asarray(cr.t),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(co.K), np.asarray(cr.K),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(co.depth_range),
+                                   np.asarray(cr.depth_range), rtol=1e-5)
+        # images materialised under the same renamed scheme
+        assert (out_our / "images" / f"{i:08d}.jpg").exists()
+        assert (out_ref / "images" / f"{i:08d}.jpg").exists()

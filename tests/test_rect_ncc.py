@@ -135,9 +135,8 @@ def test_rect_comp_grid_matches_full_frame(setup):
     dmin, dmax = ref_cam.depth_range[0], ref_cam.depth_range[1]
     rect_b = build_rect_context(images[0], images[1:], ref_cam, src_cams,
                                 (dmin, dmax), comp_hw=comp_hw)
-    assert rect_b.fwd_valid.shape[1:] == comp_hw
     # every original pixel the full frame covers is covered by the bbox grid
-    assert bool(jnp.all(rect_b.bwd_valid == rect.bwd_valid))
+    assert bool(jnp.all(rect_b.maps[0].bwd_valid == rect.maps[0].bwd_valid))
     normals = jnp.stack([n_cam, n_cam])
     ws = jnp.stack([w, w * 1.35])
     c_full = np.asarray(rect_batched_ncc(rect, normals, ws, params,
@@ -145,6 +144,74 @@ def test_rect_comp_grid_matches_full_frame(setup):
     c_bbox = np.asarray(rect_batched_ncc(rect_b, normals, ws, params,
                                          interpret=True))
     np.testing.assert_allclose(c_bbox, c_full, rtol=1e-5, atol=1e-5)
+
+
+def test_rect_live_tile_compaction_matches_full(setup):
+    """The compacted live-tile transport (rect_live_tile_count budget) returns
+    identical mapped-back costs to the identity (all-tiles) maps, and the
+    host budget covers every live tile the device map produces."""
+    from acmmp_spherical_tpu.ops.rectify import (
+        rect_comp_shape, rect_live_tile_count,
+    )
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    rhw = rect_shape(H, W)
+    comp_hw = rect_comp_shape(ref_cam, src_cams, rhw)
+    live_n = rect_live_tile_count(ref_cam, src_cams, rhw, comp_hw)
+    T = (comp_hw[0] // 8) * (comp_hw[1] // 128)
+    assert 0 < live_n <= T
+    dmin, dmax = ref_cam.depth_range[0], ref_cam.depth_range[1]
+    rect_c = build_rect_context(images[0], images[1:], ref_cam, src_cams,
+                                (dmin, dmax), comp_hw=comp_hw, live_n=live_n)
+    rect_f = build_rect_context(images[0], images[1:], ref_cam, src_cams,
+                                (dmin, dmax), comp_hw=comp_hw, live_n=None)
+    # the budget never drops a live pixel: both map sets validate the same
+    # original pixels
+    for m_c, m_f in zip(rect_c.maps, rect_f.maps):
+        assert bool(jnp.all(m_c.bwd_valid == m_f.bwd_valid))
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.35])
+    c_full = np.asarray(rect_batched_ncc(rect_f, normals, ws, params,
+                                         interpret=True))
+    c_comp = np.asarray(rect_batched_ncc(rect_c, normals, ws, params,
+                                         interpret=True))
+    np.testing.assert_allclose(c_comp, c_full, rtol=1e-5, atol=1e-5)
+
+
+def test_rect_parity_maps_match_full(setup):
+    """Per-parity transport: evaluating checkerboard-packed half-grid fields
+    through the parity maps equals packing the full-grid evaluation at every
+    collision-free pixel (where two original pixels claim one rect pixel the
+    full map keeps the last writer's plane while the parity map -- with only
+    one colour scattering -- resolves MORE pixels to their own plane)."""
+    from acmmp_spherical_tpu.ops.sampling import checkerboard_pack
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    assert len(rect.maps) == 3
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.35])
+    c_full = np.asarray(rect_batched_ncc(rect, normals, ws, params,
+                                         interpret=True))
+    m0 = rect.maps[0]
+    S = m0.bwd_cidx.shape[0]
+    own = jax.vmap(lambda f, b: f[b])(m0.fwd_idx, m0.bwd_cidx)
+    oflat = jnp.arange(H * W, dtype=jnp.int32)[None]
+    no_collision = np.asarray(
+        (own == oflat).reshape(S, H, W) & m0.bwd_valid)        # (S, H, W)
+    assert no_collision.mean() > 0.8
+    for parity in (0, 1):
+        n_p = jnp.moveaxis(
+            checkerboard_pack(jnp.moveaxis(normals, -1, 1), parity), 1, -1)
+        w_p = checkerboard_pack(ws, parity)
+        c_p = np.asarray(rect_batched_ncc(rect, n_p, w_p, params,
+                                          interpret=True, parity=parity))
+        want = np.asarray(checkerboard_pack(jnp.asarray(c_full), parity))
+        sel = np.broadcast_to(
+            np.asarray(checkerboard_pack(jnp.asarray(no_collision), parity)
+                       )[None], c_p.shape)
+        np.testing.assert_allclose(c_p[sel], want[sel], rtol=1e-5, atol=1e-5)
+        # collision pixels are few; everywhere else already matched above
+        assert sel.mean() > 0.8
 
 
 def test_rect_wide_window_matches_default(setup):
