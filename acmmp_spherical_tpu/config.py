@@ -203,6 +203,13 @@ class PipelineConfig:
     max_src_views: int = 20          # pad/truncate source views per problem
                                      # (converter default top_k, colmap2mvsnet_acm.py:424)
     skip_if_complete: bool = False   # resume support: skip passes whose outputs exist
+    tile_shard: int = 1              # intra-image tile parallelism: shard
+                                     # each depth map along the image width
+                                     # over this many local devices (GSPMD
+                                     # halo exchange; parallel/tile.py).  For
+                                     # frames too large for one chip; forces
+                                     # the exact array-program path and
+                                     # disables view batching.
     batch_problems: str = "auto"     # device-batched pass execution over the
                                      # local view mesh (pipeline/batch_runner):
                                      # "auto" = on when >1 local device,

@@ -76,3 +76,38 @@ def tile_parallel_pass(mesh: Mesh, params: PatchMatchParams,
         return depth, normal, state.cost
 
     return run
+
+
+def make_state_sharder(mesh: Mesh, tile_axis: str = "tile"):
+    """``PlaneState -> PlaneState`` width-sharding hook for the production
+    pass (pipeline/patchmatch.run_patchmatch ``shard_state=``): pins the
+    plane state to a width sharding so GSPMD partitions the propagation
+    stencils with halo exchange over ICI.  Used by the pipeline's
+    ``--tile-shard`` mode for frames too large for one chip's working set;
+    the Pallas fast paths do not partition, so that mode runs the exact
+    array-program path (the CLI forces fast/rect off)."""
+    row_shard = NamedSharding(mesh, P(None, tile_axis))
+
+    def shard(state):
+        return state._replace(
+            normal=jax.lax.with_sharding_constraint(
+                state.normal, NamedSharding(mesh, P(None, tile_axis, None))),
+            w=jax.lax.with_sharding_constraint(state.w, row_shard),
+            cost=jax.lax.with_sharding_constraint(state.cost, row_shard),
+            selected=jax.lax.with_sharding_constraint(
+                state.selected, NamedSharding(mesh, P(None, None, tile_axis))),
+            pre_cost=jax.lax.with_sharding_constraint(state.pre_cost,
+                                                      row_shard),
+        )
+
+    return shard
+
+
+def make_tile_mesh(n: int, *, devices=None) -> Mesh:
+    """A 1D ``tile`` mesh over the first ``n`` local devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.local_devices()
+    assert len(devices) >= n, (len(devices), n)
+    return Mesh(np.asarray(devices[:n]), ("tile",))

@@ -53,6 +53,7 @@ def _reconstruct(args) -> int:
         max_src_views=args.max_src_views,
         batch_problems=args.batch,
         size_bound=args.size_bound,
+        tile_shard=args.tile_shard,
     )
     n = run_pipeline(args.dense_folder, cfg)
     return 0 if n > 0 else 1
@@ -91,6 +92,11 @@ def main(argv=None) -> int:
                         " (auto: on when >1 device)")
     r.add_argument("--size-bound", type=int, default=1000,
                    help="pyramid coarsest-scale bound (reference main.cpp:38)")
+    r.add_argument("--tile-shard", type=int, default=1,
+                   help="intra-image tile parallelism: shard each depth map "
+                        "along the image width over N local devices (GSPMD "
+                        "halo exchange) for frames too large for one chip; "
+                        "forces the exact path and disables view batching")
     r.add_argument("--distributed", action="store_true",
                    help="initialise jax.distributed for multi-host runs; "
                         "each host runs this same command against the shared "

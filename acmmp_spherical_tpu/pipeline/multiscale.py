@@ -180,8 +180,15 @@ def run_pipeline(root, cfg: PipelineConfig = PipelineConfig(),
     # device-batched execution (pipeline/batch_runner): one jitted program per
     # chunk with the problem axis sharded over the local view mesh, replacing
     # the reference's strictly serial per-image loop (main.cpp:431-446)
-    batched = cfg.batch_problems == "on" or (
-        cfg.batch_problems == "auto" and jax.local_device_count() > 1)
+    tile_mesh = None
+    if cfg.tile_shard > 1:
+        from acmmp_spherical_tpu.parallel.tile import make_tile_mesh
+
+        tile_mesh = make_tile_mesh(cfg.tile_shard)
+        log.info("tile-parallel passes: width sharded over %d devices "
+                 "(exact path; view batching off)", cfg.tile_shard)
+    batched = tile_mesh is None and (cfg.batch_problems == "on" or (
+        cfg.batch_problems == "auto" and jax.local_device_count() > 1))
     if batched:
         from acmmp_spherical_tpu.parallel.mesh import make_view_mesh
         from acmmp_spherical_tpu.pipeline.batch_runner import run_pass_batched
@@ -212,7 +219,7 @@ def run_pipeline(root, cfg: PipelineConfig = PipelineConfig(),
                         process_problem(
                             sp, problems, idx, cfg, geom=geom,
                             planar_prior=prior, hierarchy=hier,
-                            multi_geometry=multi,
+                            multi_geometry=multi, tile_mesh=tile_mesh,
                         )
                     mark_pass_complete(sp, pass_name, pid)
                     return

@@ -246,9 +246,16 @@ def process_problem(
     hierarchy: bool = False,
     multi_geometry: bool = False,
     seed: Optional[int] = None,
+    tile_mesh=None,
 ) -> None:
     """Run one pass for one problem and persist the results
-    (ProcessProblem analog, main.cpp:73-210)."""
+    (ProcessProblem analog, main.cpp:73-210).
+
+    ``tile_mesh``: intra-image tile parallelism (parallel/tile.py) -- the
+    plane state is sharded along the image width over the mesh's ``tile``
+    axis (GSPMD halo exchange; SURVEY.md 5.8 #4).  For frames whose working
+    set exceeds one chip; runs the exact array-program path (the Pallas
+    fast kernels do not partition)."""
     problem = problems[idx]
     image_id = problem.ref_image_id
     sp.result_dir(image_id).mkdir(parents=True, exist_ok=True)
@@ -258,6 +265,17 @@ def process_problem(
     )
     if hierarchy:
         params = params.with_hierarchy()
+    shard_state = None
+    if tile_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from acmmp_spherical_tpu.parallel.tile import make_state_sharder
+
+        params = dataclasses.replace(params, fast_ncc=False, rect_ncc=False,
+                                     rect_comp_hw=None, rect_live_n=None,
+                                     rect_init=False)
+        shard_state = make_state_sharder(tile_mesh)
+        lp.inputs = jax.device_put(lp.inputs, NamedSharding(tile_mesh, P()))
 
     key = jax.random.fold_in(
         jax.random.key(cfg.seed if seed is None else seed), image_id
@@ -274,6 +292,7 @@ def process_problem(
     depth, normal_world, cost, state = run_patchmatch(
         lp.inputs, params, key,
         seed_normal_world=seed_normal, seed_depth=seed_depth,
+        shard_state=shard_state,
     )
 
     if planar_prior:
@@ -294,10 +313,16 @@ def process_problem(
                 prior_w=jnp.asarray(prior_w),
                 prior_mask=jnp.asarray(mask),
             )
+            if tile_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                prior_inputs = jax.device_put(
+                    prior_inputs, NamedSharding(tile_mesh, P()))
             pparams = params.with_planar_prior()
             key2 = jax.random.fold_in(key, 1)
             depth, normal_world, cost, state = run_patchmatch(
                 prior_inputs, pparams, key2, prev_state=state,
+                shard_state=shard_state,
             )
 
     dmb.write_dmb(sp.depth_file(image_id, geom=geom), np.asarray(depth))

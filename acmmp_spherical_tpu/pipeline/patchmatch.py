@@ -29,7 +29,7 @@ from acmmp_spherical_tpu.ops.propagate import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "shard_state"))
 def run_patchmatch(
     inputs: PatchMatchInputs,
     params: PatchMatchParams,
@@ -37,10 +37,17 @@ def run_patchmatch(
     prev_state: Optional[PlaneState] = None,
     seed_normal_world: Optional[jax.Array] = None,
     seed_depth: Optional[jax.Array] = None,
+    shard_state=None,
 ):
     """Run one complete pass.
 
     Returns (depth (H, W), normal_world (H, W, 3), cost (H, W), state).
+
+    ``shard_state`` (static): optional ``PlaneState -> PlaneState`` hook
+    applying ``with_sharding_constraint`` after init and every half-step --
+    the intra-image tile-parallel mode (parallel/tile.py) pins the plane
+    state to a width sharding so GSPMD partitions the propagation stencils
+    with halo exchange (ring on the width axis for SPHERE).
     """
     inputs = prepare_inputs(inputs, params)
     ctx = ref_tap_context(inputs.ref_image, inputs.ref_cam, params)
@@ -53,6 +60,8 @@ def run_patchmatch(
         seed_depth=seed_depth,
         ctx=ctx,
     )
+    if shard_state is not None:
+        state = shard_state(state)
 
     # scan over iterations so each (black, red) half-step body is traced once;
     # parity is static inside the body, enabling the packed half-grid path
@@ -70,6 +79,8 @@ def run_patchmatch(
         k0a, k0b = jax.random.split(jax.random.fold_in(k_iters, 0))
         state = checkerboard_halfstep(state, inputs, ctx, params0, k0a, 0, 0)
         state = checkerboard_halfstep(state, inputs, ctx, params0, k0b, 0, 1)
+        if shard_state is not None:
+            state = shard_state(state)
         first_iter = 1
 
     iters = jnp.arange(first_iter, n_iters)
@@ -79,7 +90,11 @@ def run_patchmatch(
         k, it = sk
         k0, k1 = jax.random.split(k)
         state = checkerboard_halfstep(state, inputs, ctx, params, k0, it, 0)
+        if shard_state is not None:
+            state = shard_state(state)
         state = checkerboard_halfstep(state, inputs, ctx, params, k1, it, 1)
+        if shard_state is not None:
+            state = shard_state(state)
         return state, None
 
     state, _ = jax.lax.scan(step, state, (iter_keys, iters))

@@ -224,3 +224,67 @@ def write_synthetic_scene_to_disk(root, cams, images, *, depth_pad=1.0):
     neighbors = [[(j, 100.0) for j in range(n) if j != i] for i in range(n)]
     write_pair_file(sp.pair_file, neighbors)
     return sp
+
+
+def render_scene_hostile(
+    cams: Sequence[Camera],
+    scene: CubeRoom,
+    width: int,
+    height: int,
+    *,
+    seed: int = 0,
+    specular_ks: float = 30.0,
+    specular_power: float = 8.0,
+    gain_range: tuple = (0.85, 1.15),
+    bias_range: tuple = (-10.0, 10.0),
+    noise_sigma: float = 2.0,
+    jpeg_quality: int = 75,
+):
+    """Hostile variant of :func:`render_scene` (VERDICT r2 item 6).
+
+    The clean renders are near-ideal for NCC (perfectly Lambertian, no noise,
+    no radiometric differences -- the reference was validated on real
+    benchmark scenes, README.md:17).  This stresses every robustness
+    mechanism the cost model claims:
+
+    * a **specular lobe** (Blinn-Phong toward a fixed world light) -- a
+      VIEW-DEPENDENT shading term that genuinely violates photo-consistency;
+    * per-view **gain/bias** (exposure differences; NCC is invariant to
+      affine intensity maps, the bilateral weights are not);
+    * additive Gaussian **sensor noise**;
+    * a **JPEG round-trip** at consumer quality (block artifacts).
+
+    Returns (images, depths, normals) like render_scene; depths/normals stay
+    exact GT.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    light = np.array([0.3, -0.8, 0.52])
+    light = light / np.linalg.norm(light)
+    images, depths, normals = [], [], []
+    for cam in cams:
+        img, dep, nrm = render_view(cam, scene, width, height)
+        R = np.asarray(cam.R)
+        C = np.asarray(-R.T @ np.asarray(cam.t))
+        ys, xs = np.mgrid[0:height, 0:width].astype(np.float32)
+        rays_world = _pixel_ray_np(cam, xs, ys) @ R
+        rays_world = rays_world / np.linalg.norm(rays_world, axis=-1,
+                                                 keepdims=True)
+        halfv = light[None, None] - rays_world          # toward viewer = -ray
+        halfv = halfv / np.maximum(
+            np.linalg.norm(halfv, axis=-1, keepdims=True), 1e-9)
+        spec = np.maximum(np.sum(halfv * nrm, axis=-1), 0.0) ** specular_power
+        img = img + specular_ks * spec.astype(np.float32)
+        img = rng.uniform(*gain_range) * img + rng.uniform(*bias_range)
+        img = img + rng.normal(0.0, noise_sigma, img.shape).astype(np.float32)
+        img = np.clip(img, 0.0, 255.0)
+        ok, buf = cv2.imencode(
+            ".jpg", img.astype(np.uint8),
+            [cv2.IMWRITE_JPEG_QUALITY, int(jpeg_quality)])
+        assert ok
+        img = cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+        images.append(img)
+        depths.append(dep)
+        normals.append(nrm)
+    return np.stack(images), np.stack(depths), np.stack(normals)

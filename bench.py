@@ -209,19 +209,29 @@ def main() -> None:
             np.savez(scache, images=simages, depths=sdepth)
         except Exception:
             pass
-    sbest = None
+    sbest = sgbest = None
     try:
-        srect = fast and sphere_rectifiable(scams[0],
-                                            stack_cameras(scams[1:]))
+        sdepth = None
+        try:
+            sdepth = np.load(scache)["depths"]
+        except Exception:
+            _, sdepth, _ = _render(scams, scene, Ws, Hs)
+        sstacked = stack_cameras(scams[1:])
+        srect = fast and sphere_rectifiable(scams[0], sstacked)
+        siwin = 0
+        if srect:
+            from acmmp_spherical_tpu.ops.sphere_rect import sphere_init_window
+
+            siwin = sphere_init_window(scams[0], sstacked)
         sparams = dataclasses.replace(
             PatchMatchParams().with_depth_range(
                 *np.asarray(scams[0].depth_range)),
-            rect_ncc=srect,
+            rect_ncc=srect, rect_init=siwin > 0, rect_init_win=siwin or 384,
         )
         simages_d = jax.device_put(jnp.asarray(simages))
         sinputs = PatchMatchInputs(
             ref_image=simages_d[0], src_images=simages_d[1:],
-            ref_cam=scams[0], src_cams=stack_cameras(scams[1:]),
+            ref_cam=scams[0], src_cams=sstacked,
             src_valid=jnp.ones(ns, bool),
         )
         sout = run_patchmatch(sinputs, sparams, jax.random.key(0))
@@ -233,8 +243,30 @@ def main() -> None:
             jax.block_until_ready(sout)
             stimes.append(time.perf_counter() - t0)
         sbest = min(stimes)
-        print(f"[bench] sphere rect={srect} pass times: "
+        print(f"[bench] sphere rect={srect} init_win={siwin} pass times: "
               f"{['%.3f' % t for t in stimes]}", file=sys.stderr)
+        srel = np.abs(np.asarray(sout[0]) - sdepth[0]) / sdepth[0]
+        print(f"[bench] sphere median rel depth err "
+              f"{np.median(srel[Hs // 8:-Hs // 8]):.4f}", file=sys.stderr)
+
+        # spherical geometric pass (fused meridian disparity mismatch)
+        sgeom_params = sparams.with_geom(multi_geometry=False)
+        sgeom_inputs = sinputs._replace(src_depths=jnp.asarray(sdepth[1:]))
+        sgout = run_patchmatch(sgeom_inputs, sgeom_params, jax.random.key(50),
+                               seed_normal_world=sout[1], seed_depth=sout[0])
+        jax.block_until_ready(sgout)
+        sgtimes = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            sgout = run_patchmatch(sgeom_inputs, sgeom_params,
+                                   jax.random.key(51 + r),
+                                   seed_normal_world=sout[1],
+                                   seed_depth=sout[0])
+            jax.block_until_ready(sgout)
+            sgtimes.append(time.perf_counter() - t0)
+        sgbest = min(sgtimes)
+        print(f"[bench] sphere geom pass times: "
+              f"{['%.3f' % t for t in sgtimes]}", file=sys.stderr)
     except Exception as e:
         print(f"[bench] sphere section failed: {e}", file=sys.stderr)
 
@@ -248,6 +280,8 @@ def main() -> None:
         "geom_unit": f"{W}x{H}x{n_src}src geometric passes/s",
         "sphere_value": None if sbest is None else round(1.0 / sbest, 4),
         "sphere_unit": f"{Ws}x{Hs}x{ns}src spherical photometric passes/s",
+        "sphere_geom_value": None if sgbest is None else round(1.0 / sgbest, 4),
+        "sphere_geom_unit": f"{Ws}x{Hs}x{ns}src spherical geometric passes/s",
     }))
 
 

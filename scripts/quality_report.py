@@ -14,9 +14,12 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
@@ -27,8 +30,14 @@ def main() -> int:
     ap.add_argument("--size", type=int, nargs=2, default=[128, 96])
     ap.add_argument("--views", type=int, default=5)
     ap.add_argument("--fast", default="auto", choices=["on", "off", "auto"])
+    ap.add_argument("--rect", default="auto", choices=["on", "off", "auto"])
+    ap.add_argument("--scene", default="cube", choices=["cube", "occluded"])
+    ap.add_argument("--hostile", action="store_true",
+                    help="per-view gain/bias + specular lobe + sensor noise "
+                         "+ JPEG round-trip (render_scene_hostile)")
     ap.add_argument("--tau", type=float, default=0.08,
                     help="accuracy threshold (scene units; room is 8 units)")
+    ap.add_argument("--out", default="", help="also write the JSON here")
     args = ap.parse_args()
 
     from acmmp_spherical_tpu.config import PipelineConfig
@@ -40,20 +49,24 @@ def main() -> int:
         cloud_accuracy_completeness, cube_surface_distance, depth_error_stats,
     )
     from acmmp_spherical_tpu.utils.synthetic import (
-        CubeRoom, make_ring_of_cameras, render_scene,
-        write_synthetic_scene_to_disk,
+        CubeRoom, OccludedRoom, make_ring_of_cameras, render_scene,
+        render_scene_hostile, write_synthetic_scene_to_disk,
     )
     from acmmp_spherical_tpu.core import geometry as G
 
     W, H = args.size
-    scene = CubeRoom()
+    scene = OccludedRoom() if args.scene == "occluded" else CubeRoom()
     cams = make_ring_of_cameras(args.views, model=args.model, width=W, height=H,
                                 focal=0.9 * W)
-    images, gt_depths, _ = render_scene(cams, scene, W, H)
+    if args.hostile:
+        images, gt_depths, _ = render_scene_hostile(cams, scene, W, H)
+    else:
+        images, gt_depths, _ = render_scene(cams, scene, W, H)
     root = tempfile.mkdtemp() + "/dense"
     write_synthetic_scene_to_disk(root, cams, images)
 
-    cfg = dataclasses.replace(PipelineConfig(), fast_ncc=args.fast)
+    cfg = dataclasses.replace(PipelineConfig(), fast_ncc=args.fast,
+                              rect_ncc=args.rect)
     t0 = time.time()
     n_points = run_pipeline(root, cfg)
     wall = time.time() - t0
@@ -74,15 +87,22 @@ def main() -> int:
     cloud["frac_on_surface"] = float(
         np.mean(cube_surface_distance(pts, scene.half) < args.tau))
 
-    print(json.dumps({
-        "scene": f"cube_room_{args.model}_{W}x{H}x{args.views}v",
+    report = {
+        "scene": f"{args.scene}_room_{args.model}_{W}x{H}x{args.views}v"
+                 + ("_hostile" if args.hostile else ""),
         "fast_ncc": args.fast,
+        "rect_ncc": args.rect,
         "wall_s": round(wall, 1),
         "n_points": int(n_points),
         **{k: round(v, 4) for k, v in depth_stats.items()},
         **{k: (round(v, 4) if isinstance(v, float) else v)
            for k, v in cloud.items()},
-    }))
+    }
+    print(json.dumps(report))
+    if args.out:
+        import pathlib
+
+        pathlib.Path(args.out).write_text(json.dumps(report, indent=1))
     return 0
 
 

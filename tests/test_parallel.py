@@ -105,3 +105,43 @@ def test_sharded_fusion_matches_single_device():
     assert len(p1) == len(p2)
     np.testing.assert_allclose(np.sort(p1, axis=0), np.sort(p2, axis=0),
                                atol=1e-4)
+
+
+@pytest.mark.slow
+def test_tile_shard_pipeline_matches_serial(tmp_path):
+    """The product --tile-shard path (config.tile_shard): the full pipeline
+    with every depth map width-sharded over 4 virtual devices produces the
+    same results as the unsharded run (with_sharding_constraint only moves
+    data; semantics are identical up to f32 reduction order)."""
+    import dataclasses
+
+    from acmmp_spherical_tpu.config import PipelineConfig
+    from acmmp_spherical_tpu.io.dmb import read_depth_dmb
+    from acmmp_spherical_tpu.io.scene import ScenePaths
+    from acmmp_spherical_tpu.pipeline.multiscale import run_pipeline
+    from acmmp_spherical_tpu.utils.synthetic import (
+        CubeRoom, make_ring_of_cameras, render_scene,
+        write_synthetic_scene_to_disk,
+    )
+
+    scene = CubeRoom()
+    W, H, n = 64, 48, 4
+    cams = make_ring_of_cameras(n, width=W, height=H, focal=56.0)
+    images, depths, _ = render_scene(cams, scene, W, H)
+
+    results = {}
+    for shard in (1, 4):
+        root = tmp_path / f"dense_{shard}"
+        write_synthetic_scene_to_disk(root, cams, images)
+        cfg = PipelineConfig(tile_shard=shard, batch_problems="off")
+        n_pts = run_pipeline(root, cfg)
+        assert n_pts > 500, (shard, n_pts)
+        results[shard] = read_depth_dmb(
+            ScenePaths(root).depth_file(0, geom=True))
+
+    rel = np.abs(results[4] - results[1]) / np.maximum(results[1], 1e-6)
+    # identical seeds + value-preserving sharding: near-exact agreement
+    assert np.median(rel) < 1e-5, np.median(rel)
+    assert np.mean(rel < 1e-3) > 0.99, np.mean(rel < 1e-3)
+    gt_rel = np.abs(results[4] - depths[0]) / depths[0]
+    assert np.median(gt_rel[4:-4, 4:-4]) < 0.02

@@ -150,3 +150,59 @@ def test_sphere_geom_cost(setup):
     assert m_fused > 3.0 * np.median(gv[0][ok]), (m_fused,
                                                   np.median(gv[0][ok]))
     assert abs(m_fused - m_exact) < 0.5 + 0.3 * m_exact, (m_fused, m_exact)
+
+
+@pytest.mark.slow
+def test_sphere_epipole_and_seam_quality(setup):
+    """Quality specifically in the regions the pole-rotated approximation
+    treats specially (VERDICT r2 weak #9): each pair's epipole neighbourhoods
+    (= the rotated poles, masked per pair by LAT_CAP -- other views must heal
+    them) and the longitude seam columns.  The reference evaluates epipole
+    regions exactly (ACMMP.cu:425-486) so a large hole here would be a real
+    capability gap, not noise."""
+    from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
+    from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, ctx, (H, W) = setup
+    dr = jnp.asarray(np.asarray(ref_cam.depth_range), jnp.float32)
+    inputs = PatchMatchInputs(
+        ref_image=images[0], src_images=images[1:], ref_cam=ref_cam,
+        src_cams=src_cams, src_valid=jnp.ones(3, bool), depth_range=dr,
+    )
+    rparams = dataclasses.replace(params, rect_ncc=True)
+    d, _, cost, _ = run_patchmatch(inputs, rparams, jax.random.key(3))
+    rel = np.abs(np.asarray(d) - depths[0]) / depths[0]
+
+    # epipole pixels of every pair in the ORIGINAL equirect frame
+    from acmmp_spherical_tpu.core.camera import camera_center
+
+    C0 = np.asarray(camera_center(ref_cam))
+    R0 = np.asarray(ref_cam.R)
+    cx, cy = float(ref_cam.params[1]), float(ref_cam.params[2])
+    ys_g, xs_g = np.mgrid[0:H, 0:W]
+    epi_mask = np.zeros((H, W), bool)
+    for s in range(3):
+        Cs = -np.asarray(src_cams.R[s]).T @ np.asarray(src_cams.t[s])
+        for sign in (1.0, -1.0):
+            b = sign * R0 @ (Cs - C0)
+            b = b / np.linalg.norm(b)
+            lat = -np.arcsin(np.clip(b[1], -1, 1))
+            lon = np.arctan2(b[0], b[2])
+            ex = lon / (2 * np.pi) * W + cx
+            ey = -lat / np.pi * H + cy
+            dx = np.minimum(np.abs(xs_g - ex), W - np.abs(xs_g - ex))
+            epi_mask |= (dx ** 2 + (ys_g - ey) ** 2) < (H / 8.0) ** 2
+    # keep epipole discs away from the original polar rows (degenerate for
+    # any method)
+    band = np.zeros((H, W), bool)
+    band[H // 8: -H // 8] = True
+    sel = epi_mask & band
+    assert sel.mean() > 0.01, "epipole discs missed the test band"
+    assert np.median(rel[sel]) < 0.05, np.median(rel[sel])
+
+    # longitude seam columns (wrap correctness end-to-end)
+    seam = np.zeros((H, W), bool)
+    seam[:, : W // 32] = True
+    seam[:, -W // 32:] = True
+    seam &= band
+    assert np.median(rel[seam]) < 0.03, np.median(rel[seam])
