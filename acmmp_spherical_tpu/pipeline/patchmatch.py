@@ -63,8 +63,6 @@ def run_patchmatch(
     if shard_state is not None:
         state = shard_state(state)
 
-    # scan over iterations so each (black, red) half-step body is traced once;
-    # parity is static inside the body, enabling the packed half-grid path
     n_iters = params.max_iterations
     first_iter = 0
     fresh_random = not (params.geom_consistency or params.hierarchy
@@ -83,21 +81,24 @@ def run_patchmatch(
             state = shard_state(state)
         first_iter = 1
 
-    iters = jnp.arange(first_iter, n_iters)
-    iter_keys = jax.vmap(lambda i: jax.random.fold_in(k_iters, i))(iters)
-
-    def step(state, sk):
-        k, it = sk
-        k0, k1 = jax.random.split(k)
+    # STATICALLY UNROLLED iteration loop.  This was a lax.scan over the
+    # (black, red) body; on TPU v5e a while-loop wrapping the rectified
+    # Pallas kernel faults the device ("TPU backend error (Internal)") for
+    # some shape classes (reproduced at 800x600x4src: scan length >= 2
+    # faults, while the SAME body unrolled in one jit -- identical values,
+    # identical RNG -- runs fine; bisect 2026-08-19).  Unrolling costs
+    # tracing/compile time (max_iterations is 3), never runtime, and the
+    # key schedule fold_in(k_iters, i) is unchanged so results are
+    # bit-identical to the scan version.
+    for i in range(first_iter, n_iters):
+        it = jnp.int32(i)
+        k0, k1 = jax.random.split(jax.random.fold_in(k_iters, i))
         state = checkerboard_halfstep(state, inputs, ctx, params, k0, it, 0)
         if shard_state is not None:
             state = shard_state(state)
         state = checkerboard_halfstep(state, inputs, ctx, params, k1, it, 1)
         if shard_state is not None:
             state = shard_state(state)
-        return state, None
-
-    state, _ = jax.lax.scan(step, state, (iter_keys, iters))
 
     depth, normal_world = extract_depth_and_normal(state, inputs.ref_cam)
     depth = checkerboard_median_filter(
