@@ -435,17 +435,14 @@ def initialize_state(
 # refinement (PlaneHypothesisRefinement, ACMMP.cu:797-936)
 # ---------------------------------------------------------------------------
 
-def _refinement(
-    inputs, ctx, params, key, xs, ys,
-    normal, w, depth, cost, restricted, sel,
-    prior_normal, prior_mask, prior_depth, dmin, dmax,
-    parity=None,
-):
-    """Sequentially ratchet through the 5 refinement candidates.
+def _refinement_candidates(inputs, params, key, xs, ys, normal, w, depth,
+                           prior_normal, prior_mask, prior_depth, dmin, dmax):
+    """The 5 refinement candidate plane fields anchored at (normal, w, depth).
 
     Candidate table (ACMMP.cu:871-874):
     (rand_d, cur_n), (cur_d, rand_n), (rand_d, rand_n), (cur_d, pert_n),
-    (pert_d, cur_n).
+    (pert_d, cur_n).  Returns (cand_normals (5, ..., 3), cand_w (5, ...),
+    cand_depth_at (5, ...)).
     """
     cam = inputs.ref_cam
     perturbation = params.refine_perturbation
@@ -512,6 +509,23 @@ def _refinement(
     cand_depth_at = jax.vmap(
         lambda n_i, w_i: G.depth_from_plane(cam, xs, ys, n_i, w_i)
     )(cand_normals, cand_w)
+    return cand_normals, cand_w, cand_depth_at
+
+
+def _refinement(
+    inputs, ctx, params, key, xs, ys,
+    normal, w, depth, cost, restricted, sel,
+    prior_normal, prior_mask, prior_depth, dmin, dmax,
+    parity=None,
+):
+    """Sequentially ratchet through the 5 refinement candidates
+    (PlaneHypothesisRefinement, ACMMP.cu:797-936), anchored at the
+    post-acceptance running hypothesis like the reference."""
+    cam = inputs.ref_cam
+
+    cand_normals, cand_w, cand_depth_at = _refinement_candidates(
+        inputs, params, key, xs, ys, normal, w, depth,
+        prior_normal, prior_mask, prior_depth, dmin, dmax)
 
     if (_use_rect(inputs, params) and params.rect_prescreen
             and not params.planar_prior):
@@ -523,9 +537,9 @@ def _refinement(
         import dataclasses as _dc
 
         can_refine = sel.weight_norm > 0.0
-        pre = _dc.replace(params,
-                          radius_increment=params.prescreen_increment)
-        cv5p, _ = _batched_cost_vectors(inputs, ctx, pre,
+        pre_params = _dc.replace(params,
+                                 radius_increment=params.prescreen_increment)
+        cv5p, _ = _batched_cost_vectors(inputs, ctx, pre_params,
                                         cand_normals, cand_w, parity=parity)
         valid5 = (can_refine[None]
                   & (cand_depth_at >= dmin) & (cand_depth_at <= dmax)
@@ -663,6 +677,13 @@ def _halfstep_core(
         geom_arrays = None
         now_vecs = None
     elif _use_rect(inputs, params):
+        # NOTE: a fused C=14 invocation (refinement candidates joining this
+        # batch, anchored at the PRE-acceptance plane) was measured in round
+        # 3: it saves one per-row transport pass (~180 ms/half-step on v5e)
+        # but costs real quality on the discontinuity golden (med rel err
+        # 0.0023 -> 0.0040, frac<1% 0.81 -> 0.73) because the reference's
+        # refinement explicitly perturbs the post-acceptance running
+        # hypothesis (ACMMP.cu:871-874).  Rejected; see PERF.md.
         all_n = jnp.concatenate([cands.normal, cur_normal[None]], axis=0)
         all_w = jnp.concatenate([cands.w, cur_w[None]], axis=0)
         cv_all, gv_all = _batched_cost_vectors(inputs, ctx, params,
