@@ -203,6 +203,13 @@ class PipelineConfig:
     max_src_views: int = 20          # pad/truncate source views per problem
                                      # (converter default top_k, colmap2mvsnet_acm.py:424)
     skip_if_complete: bool = False   # resume support: skip passes whose outputs exist
+    # scene-wide unified static rect-kernel settings for the current scale:
+    # (comp_hw, live_n, iwin_pinhole, iwin_sphere) from
+    # pass_runner.compute_scene_rect_settings, set per scale by run_pipeline
+    # so every problem shares ONE compiled program per pass variant (the
+    # reference pays zero recompiles, main.cpp:392-482).  None = derive
+    # per problem (standalone process_problem calls).
+    rect_unify: "tuple | None" = None
     tile_shard: int = 1              # intra-image tile parallelism: shard
                                      # each depth map along the image width
                                      # over this many local devices (GSPMD

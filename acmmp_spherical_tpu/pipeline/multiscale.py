@@ -201,12 +201,27 @@ def run_pipeline(root, cfg: PipelineConfig = PipelineConfig(),
     max_k = compute_multiscale_settings(sp, problems, cfg)
     first = True
     scale = max_k
+    base_cfg = cfg
     while scale >= 0:
         log.info("=== scale %d ===", scale)
         for p in problems:
             if p.num_downscale >= 0:
                 p.cur_image_size = p.max_image_size // (2 ** p.num_downscale)
                 p.num_downscale -= 1
+
+        # scene-wide unified static rect-kernel shapes: one compiled program
+        # per pass variant per scale instead of per image (the reference
+        # pays zero recompiles, main.cpp:392-482)
+        import dataclasses as _dc
+
+        from acmmp_spherical_tpu.pipeline.pass_runner import (
+            compute_scene_rect_settings,
+        )
+
+        cfg = _dc.replace(
+            base_cfg,
+            rect_unify=compute_scene_rect_settings(sp, problems, base_cfg))
+        log.info("scale %d unified rect settings: %s", scale, cfg.rect_unify)
 
         def _run_serial(idx, *, geom, prior, hier, multi, tag, pass_name):
             pid = problems[idx].ref_image_id

@@ -40,6 +40,7 @@ def _load_view(sp: ScenePaths, image_id: int, max_size: int):
     img = load_image_gray(sp.image_file(image_id))
     cam = read_camera_file(sp.camera_file(image_id))
     h, w = img.shape
+    _size_cache[str(sp.image_file(image_id))] = (h, w)
     cam = scale_camera(cam, 1.0, 1.0, w, h)
     if w > max_size or h > max_size:
         import cv2
@@ -49,6 +50,97 @@ def _load_view(sp: ScenePaths, image_id: int, max_size: int):
         img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
         cam = scale_camera(cam, nw / w, nh / h, nw, nh)
     return img.astype(np.float32), cam
+
+
+_size_cache: dict = {}
+
+
+def _view_geometry(sp: ScenePaths, image_id: int, max_size: int):
+    """(camera, h, w) after the cur-size rescale WITHOUT keeping pixels --
+    the host-side mirror used by compute_scene_rect_settings."""
+    path = str(sp.image_file(image_id))
+    if path not in _size_cache:
+        img = load_image_gray(sp.image_file(image_id))
+        _size_cache[path] = img.shape
+    h, w = _size_cache[path]
+    cam = read_camera_file(sp.camera_file(image_id))
+    cam = scale_camera(cam, 1.0, 1.0, w, h)
+    if w > max_size or h > max_size:
+        factor = min(max_size / w, max_size / h)
+        nw, nh = round(w * factor), round(h * factor)
+        cam = scale_camera(cam, nw / w, nh / h, nw, nh)
+        h, w = nh, nw
+    return cam, h, w
+
+
+def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
+                                cfg: PipelineConfig):
+    """Scene-wide UNIFIED static rect-kernel settings for the current scale.
+
+    The rect path's static knobs (compute-grid bbox, live-tile budget, init
+    window) are per-problem geometry functions; left per-problem they make
+    every image a distinct compiled program (~minutes of remote compile per
+    image at production sizes -- measured in the round-3 envelope run).  The
+    reference pays ZERO recompiles (main.cpp:392-482), so the pipeline
+    max/and-reduces them over the scene once per scale and every problem
+    shares one program per pass variant (a wider bbox/budget/window only
+    adds coverage; batch_runner applies the same reduction per chunk).
+
+    Returns ``(comp_hw, live_n, iwin_pinhole, iwin_sphere)`` or None when no
+    problem rectifies.
+    """
+    from acmmp_spherical_tpu.ops.rectify import (
+        host_rectifiable, rect_comp_shape, rect_init_window,
+        rect_live_tile_count, rect_shape,
+    )
+    from acmmp_spherical_tpu.ops.sphere_rect import (
+        sphere_init_window, sphere_rectifiable,
+    )
+
+    by_id = {p.ref_image_id: p for p in problems}
+    comp = None
+    live = None
+    iwin_p = None
+    iwin_s = None
+    for problem in problems:
+        try:
+            ref_cam, h, w = _view_geometry(sp, problem.ref_image_id,
+                                           problem.cur_image_size)
+            src = []
+            for sid in problem.src_image_ids[: cfg.max_src_views]:
+                cur = (by_id[sid].cur_image_size if sid in by_id
+                       else problem.cur_image_size)
+                src.append(_view_geometry(sp, sid, cur)[0])
+            if not src:
+                continue
+            stacked = stack_cameras(src)
+            if ref_cam.model == "pinhole":
+                rhw = rect_shape(h, w)
+                if not host_rectifiable(ref_cam, stacked, rhw):
+                    continue
+                chw = rect_comp_shape(ref_cam, stacked, rhw)
+                ln = rect_live_tile_count(ref_cam, stacked, rhw, chw)
+                iw = rect_init_window(ref_cam, stacked, rhw,
+                                      min_scale=cfg.depth_min_scale,
+                                      max_scale=cfg.depth_max_scale)
+                comp = (chw if comp is None else
+                        (max(comp[0], chw[0]), max(comp[1], chw[1])))
+                live = ln if live is None else max(live, ln)
+                iwin_p = iw if iwin_p is None else (
+                    0 if 0 in (iwin_p, iw) else max(iwin_p, iw))
+            elif ref_cam.model == "sphere":
+                if not sphere_rectifiable(ref_cam, stacked):
+                    continue
+                iw = sphere_init_window(ref_cam, stacked,
+                                        min_scale=cfg.depth_min_scale)
+                iwin_s = iw if iwin_s is None else (
+                    0 if 0 in (iwin_s, iw) else max(iwin_s, iw))
+        except Exception:
+            log.exception("rect settings for image %08d failed; skipping",
+                          problem.ref_image_id)
+    if comp is None and iwin_s is None:
+        return None
+    return (comp, live, iwin_p, iwin_s)
 
 
 def _pad_stack(arrays: Sequence[np.ndarray], shape=None) -> np.ndarray:
@@ -136,13 +228,20 @@ def load_problem(
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
         rhw = rect_shape(ref_img.shape[0], ref_img.shape[1])
         if n_src and host_rectifiable(ref_cam, stacked, rhw):
-            iwin = rect_init_window(ref_cam, stacked, rhw,
-                                    min_scale=cfg.depth_min_scale,
-                                    max_scale=cfg.depth_max_scale)
-            chw = rect_comp_shape(ref_cam, stacked, rhw)
+            if cfg.rect_unify is not None and cfg.rect_unify[0] is not None:
+                # scene-wide unified shapes: one compiled program per pass
+                # variant per scale (see compute_scene_rect_settings)
+                chw, live_n, iwin, _ = cfg.rect_unify
+                chw = (min(chw[0], rhw[0]), min(chw[1], rhw[1]))
+                iwin = iwin or 0
+            else:
+                iwin = rect_init_window(ref_cam, stacked, rhw,
+                                        min_scale=cfg.depth_min_scale,
+                                        max_scale=cfg.depth_max_scale)
+                chw = rect_comp_shape(ref_cam, stacked, rhw)
+                live_n = rect_live_tile_count(ref_cam, stacked, rhw, chw)
             params = dataclasses.replace(
-                params, rect_ncc=True, rect_comp_hw=chw,
-                rect_live_n=rect_live_tile_count(ref_cam, stacked, rhw, chw),
+                params, rect_ncc=True, rect_comp_hw=chw, rect_live_n=live_n,
                 rect_init=iwin > 0, rect_init_win=iwin or 384)
     if ref_cam.model == "sphere" and (
         cfg.rect_ncc == "on"
@@ -158,8 +257,11 @@ def load_problem(
 
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
         if n_src and sphere_rectifiable(ref_cam, stacked):
-            iwin = sphere_init_window(ref_cam, stacked,
-                                      min_scale=cfg.depth_min_scale)
+            if cfg.rect_unify is not None and cfg.rect_unify[3] is not None:
+                iwin = cfg.rect_unify[3]
+            else:
+                iwin = sphere_init_window(ref_cam, stacked,
+                                          min_scale=cfg.depth_min_scale)
             params = dataclasses.replace(
                 params, rect_ncc=True,
                 rect_init=iwin > 0, rect_init_win=iwin or 384)
