@@ -44,6 +44,9 @@ from typing import Sequence
 import numpy as np
 
 from acmmp_spherical_tpu.core.camera import Camera, PINHOLE, SPHERE, make_camera
+from acmmp_spherical_tpu.utils.log import get_logger
+
+log = get_logger(__name__)
 
 RESULT_DIR_FMT = "2333_{:08d}"  # reference main.cpp:79
 OUTPUT_SUBDIR = "ACMMP"
@@ -117,6 +120,16 @@ def read_camera_file(path: str | os.PathLike) -> Camera:
         span_id = (c >= 2 and abs(c - round(c)) < 1e-6
                    and abs(b * (round(c) - 1) - (d - a)) <= 0.02 * max(d - a, 1e-9))
         if b <= a or span_id:
+            if b > a:
+                # only the converter identity fired: a legitimate C++-format
+                # file whose dummy 4th field happens to satisfy it would be
+                # silently rewritten -- make format detection auditable
+                log.warning(
+                    "%s: pinhole depth line %r matched the converter format "
+                    "dmin dint nplanes dmax (dint*(nplanes-1) ~= dmax-dmin); "
+                    "using depth range (%g, %g). If this file is in the C++ "
+                    "'dmin dmax d d' convention, the intended range was "
+                    "(%g, %g).", path, vals, a, d, a, b)
             dmin, dmax = a, d
     return make_camera(R, t, model=PINHOLE, K=K, depth_min=dmin, depth_max=dmax)
 

@@ -102,8 +102,7 @@ def prepare_inputs(inputs: "PatchMatchInputs",
             lambda img, wd, ht: pack_bilinear(img, wd, ht, wrap_x=wrap)
         )(inputs.src_images, inputs.src_cams.width, inputs.src_cams.height)
         inputs = inputs._replace(src_packed=packed)
-    if (params is not None and params.rect_ncc and inputs.rect is None
-            and not params.planar_prior):
+    if params is not None and params.rect_ncc and inputs.rect is None:
         dr = _depth_range(inputs, params)
         if (inputs.ref_cam.model == PINHOLE
                 and inputs.src_cams.model == PINHOLE):
@@ -215,18 +214,22 @@ def _geom_vec(inputs, normal, w, xs, ys, params):
 
 
 def _use_rect(inputs, params, allow_fast=True):
-    """Rectified-kernel eligibility: photometric/hierarchy passes on
-    rectifiable pinhole problems or pole-rotatable spherical problems, and
-    pinhole GEOM passes when the context carries the warped source
-    disparities (the fused 1D-mismatch geom term).  Prior passes and sphere
-    geom passes keep the windowed/exact paths."""
+    """Rectified-kernel eligibility: photometric/hierarchy, geometric AND
+    planar-prior passes on rectifiable pinhole problems or pole-rotatable
+    spherical problems; geom passes additionally require the context to
+    carry the warped source disparities (the fused 1D-mismatch geom term --
+    both geometries build them).  Prior passes are rect-eligible because
+    their fields are tile-smooth by construction: the prior is piecewise
+    planar (Delaunay facets of the converged field), the init perturbs it by
+    a few percent, and the prior-guided refinement samples a +-3 sigma_d
+    window around it (sigma_d = range/64, ACMMP.cu:830-836); the free
+    (unmasked) random-depth candidates use tile-slab sampling (PERF.md)."""
     from acmmp_spherical_tpu.core.camera import PINHOLE
 
     ok = (
         params.rect_ncc
         and allow_fast
         and inputs.rect is not None
-        and not params.planar_prior
         and inputs.ref_cam.model == inputs.src_cams.model
         and inputs.ref_cam.model in (PINHOLE, SPHERE)
     )
@@ -407,8 +410,11 @@ def initialize_state(
     # scattered fields then evaluate with full tap coverage, and the ratchet
     # compares init and candidate costs on the SAME cost definition).
     # Seeded fields (geom/hierarchy passes) are tile-smooth like candidate
-    # fields, so they ride the kernel under the ordinary window guarantees.
-    seeded = params.geom_consistency or params.hierarchy
+    # fields, so they ride the kernel under the ordinary window guarantees;
+    # so is the prior init (converged prev field / few-percent-perturbed
+    # piecewise-planar prior).
+    seeded = (params.geom_consistency or params.hierarchy
+              or params.planar_prior)
     if _use_rect(inputs, params) and (params.rect_init or seeded):
         import dataclasses as _dc
 
@@ -450,14 +456,38 @@ def _refinement_candidates(inputs, params, key, xs, ys, normal, w, depth,
 
     depth_sigma = (dmax - dmin) / params.prior_depth_sigma_div
 
+    rand_fast = (_use_fast(inputs, params, True)
+                 or _use_rect(inputs, params))
+
+    def slab_u(k):
+        # tile-slab sampling: every (8,128) tile draws its random depths
+        # from one narrow inverse-depth slab per half-step (slab chosen
+        # uniformly), so the candidate field is tile-smooth and the
+        # windowed kernel covers it.  The per-pixel marginal stays
+        # inverse-depth-uniform; only the within-tile correlation changes,
+        # and a fresh slab is drawn every half-step (quality-gated on the
+        # goldens; PERF.md).
+        H_, W_ = depth.shape
+        slab = 1.0 / 16.0
+        th, tw = -(-H_ // 8), -(-W_ // 128)
+        k_slab, k_in = jax.random.split(k)
+        u0 = R.uniform(k_slab, (th, tw), 0.0, 1.0 - slab)
+        u0 = jnp.repeat(jnp.repeat(u0, 8, 0), 128, 1)[:H_, :W_]
+        return u0 + R.uniform(k_in, depth.shape) * slab
+
     if params.planar_prior:
         has_prior = prior_mask
-        # prior-guided random sampling (ACMMP.cu:830-836)
+        # prior-guided random sampling (ACMMP.cu:830-836); the +-3 sigma_d
+        # window is narrow (sigma_d = range/64) and rides the prior field,
+        # so masked pixels are tile-smooth with iid u.  Unmasked pixels fall
+        # back to the free range: tile-slab sampled on the fast/rect paths
+        # so their candidate field stays window-coverable too.
         lo_p = jnp.maximum(prior_depth - 3.0 * depth_sigma, dmin)
         hi_p = jnp.minimum(prior_depth + 3.0 * depth_sigma, dmax)
         u = R.uniform(k_rd, depth.shape)
         d_rand_prior = R.sample_depth_inv(u, lo_p, hi_p)
-        d_rand_free = R.sample_depth_inv(u, dmin, dmax)
+        u_free = slab_u(k_rd) if rand_fast else u
+        d_rand_free = R.sample_depth_inv(u_free, dmin, dmax)
         depth_rand = jnp.where(has_prior, d_rand_prior, d_rand_free)
         n_rand_prior = R.perturbed_normal(
             k_rn, cam, xs, ys, prior_normal, params.prior_angle_sigma
@@ -465,25 +495,7 @@ def _refinement_candidates(inputs, params, key, xs, ys, normal, w, depth,
         n_rand_free = R.random_normal_toward_viewer(k_rn, cam, xs, ys)
         normal_rand = jnp.where(has_prior[..., None], n_rand_prior, n_rand_free)
     else:
-        rand_fast = (_use_fast(inputs, params, True)
-                     or _use_rect(inputs, params))
-        if rand_fast:
-            # tile-slab sampling: every (8,128) tile draws its random depths
-            # from one narrow inverse-depth slab per half-step (slab chosen
-            # uniformly), so the candidate field is tile-smooth and the
-            # windowed kernel covers it.  The per-pixel marginal stays
-            # inverse-depth-uniform; only the within-tile correlation changes,
-            # and a fresh slab is drawn every half-step (quality-gated on the
-            # goldens; PERF.md).
-            H_, W_ = depth.shape
-            slab = 1.0 / 16.0
-            th, tw = -(-H_ // 8), -(-W_ // 128)
-            k_slab, k_in = jax.random.split(k_rd)
-            u0 = R.uniform(k_slab, (th, tw), 0.0, 1.0 - slab)
-            u0 = jnp.repeat(jnp.repeat(u0, 8, 0), 128, 1)[:H_, :W_]
-            u = u0 + R.uniform(k_in, depth.shape) * slab
-        else:
-            u = R.uniform(k_rd, depth.shape)
+        u = slab_u(k_rd) if rand_fast else R.uniform(k_rd, depth.shape)
         depth_rand = R.sample_depth_inv(u, dmin, dmax)
         normal_rand = R.random_normal_toward_viewer(k_rn, cam, xs, ys)
 
@@ -572,9 +584,12 @@ def _refinement(
 
     # candidates 0 and 2 carry the random depth; with tile-slab sampling the
     # field is tile-smooth and may use the windowed/rect kernel, otherwise
-    # (iid sampling, prior mode) those two stay on the exact path
-    rand_ok = (not params.planar_prior) and (
-        _use_fast(inputs, params, True) or _use_rect(inputs, params))
+    # (iid sampling) those two stay on the exact path.  Prior mode rides the
+    # rect kernel too: masked pixels sample a narrow prior-guided window and
+    # unmasked ones are tile-slab sampled (see _refinement_candidates).
+    rand_ok = (_use_rect(inputs, params)
+               or ((not params.planar_prior)
+                   and _use_fast(inputs, params, True)))
     cv5, gv5 = _batched_cost_vectors(
         inputs, ctx, params, cand_normals, cand_w,
         exact_idx=() if rand_ok else (0, 2), parity=parity,

@@ -605,38 +605,70 @@ def build_transport_maps(
 
     oflat = jnp.arange(H * W, dtype=jnp.int32)
 
-    def fwd(cidx, ok):
-        t = jnp.where(ok, cidx, N * 1024)
-        fidx = jnp.zeros(N * 1024 + 1, jnp.int32).at[t].set(oflat)[:-1]
-        fval = jnp.zeros(N * 1024 + 1, jnp.float32).at[t].set(1.0)[:-1]
-        return fidx, fval
-
-    fwd_idx, fwd_val = jax.vmap(fwd)(bwd_cidx, okc)
-    maps = [TransportMaps(
-        fwd_idx=fwd_idx, fwd_valid=fwd_val.reshape(S, N * 8, 128),
-        bwd_cidx=bwd_cidx, bwd_x=bwd_x, bwd_y=bwd_y,
-        bwd_valid=okc.reshape(S, H, W))]
-
     if parity_maps and H % 2 == 0 and W % 2 == 0:
-        # derived, no extra scatters: restrict the forward map to one
-        # colour's pixels and repoint it at the packed half-grid table
-        fy = fwd_idx // W
-        fx = fwd_idx % W
-        fpacked = fy * (W // 2) + fx // 2
-        fpar = (fy + fx) % 2
+        # per-parity rescatter: each checkerboard colour scatters its OWN
+        # pixels, so a cross-colour collision (two original pixels of
+        # opposite colour rounding to one rect pixel) resolves to the active
+        # colour's own plane in that colour's map.  Deriving the parity maps
+        # from the full map's last-writer attribution instead permanently
+        # froze the losing colour's pixel at cost_max wherever the warp is
+        # locally contracting (round-3 advisor finding).  One fused scatter
+        # per parity (value = packed half-grid idx + 1); the full map is
+        # then derived from the two parity scatters with ZERO extra
+        # scatters, so the total per-pass scatter count is unchanged.
+        yy = oflat // W
+        xx = oflat - yy * W
+        par = (yy + xx) % 2
+        pidx1 = yy * (W // 2) + xx // 2 + 1     # packed idx + 1 (0 = empty)
+
+        def fwd_parity(cidx, ok, p):
+            t = jnp.where(ok & (par == p), cidx, N * 1024)
+            return jnp.zeros(N * 1024 + 1, jnp.int32).at[t].set(pidx1)[:-1]
+
+        pm = [jax.vmap(lambda c, o: fwd_parity(c, o, p))(bwd_cidx, okc)
+              for p in (0, 1)]
+
+        def unpack_orig(packed1, p):
+            # packed half-grid idx -> original flat idx (row-preserving pack:
+            # x = 2*(idx % (W//2)) + (p + y) % 2, sampling.checkerboard_pack)
+            q = jnp.maximum(packed1 - 1, 0)
+            fy = q // (W // 2)
+            fx = 2 * (q - fy * (W // 2)) + (p + fy) % 2
+            return fy * W + fx
+
+        full_val = (pm[0] > 0) | (pm[1] > 0)
+        full_idx = jnp.where(pm[1] > 0, unpack_orig(pm[1], 1),
+                             jnp.where(pm[0] > 0, unpack_orig(pm[0], 0), 0))
+        maps = [TransportMaps(
+            fwd_idx=full_idx,
+            fwd_valid=full_val.astype(jnp.float32).reshape(S, N * 8, 128),
+            bwd_cidx=bwd_cidx, bwd_x=bwd_x, bwd_y=bwd_y,
+            bwd_valid=okc.reshape(S, H, W))]
 
         def packf(a):
             return checkerboard_pack(a.reshape(S, H, W), p).reshape(S, -1)
 
         for p in (0, 1):
-            sel = (fwd_val > 0.5) & (fpar == p)
             maps.append(TransportMaps(
-                fwd_idx=jnp.where(sel, fpacked, 0),
-                fwd_valid=sel.astype(jnp.float32).reshape(S, N * 8, 128),
+                fwd_idx=jnp.maximum(pm[p] - 1, 0),
+                fwd_valid=(pm[p] > 0).astype(jnp.float32).reshape(
+                    S, N * 8, 128),
                 bwd_cidx=packf(bwd_cidx), bwd_x=packf(bwd_x),
                 bwd_y=packf(bwd_y),
                 bwd_valid=checkerboard_pack(
                     okc.reshape(S, H, W), p)))
+    else:
+        def fwd(cidx, ok):
+            t = jnp.where(ok, cidx, N * 1024)
+            fidx = jnp.zeros(N * 1024 + 1, jnp.int32).at[t].set(oflat)[:-1]
+            fval = jnp.zeros(N * 1024 + 1, jnp.float32).at[t].set(1.0)[:-1]
+            return fidx, fval
+
+        fwd_idx, fwd_val = jax.vmap(fwd)(bwd_cidx, okc)
+        maps = [TransportMaps(
+            fwd_idx=fwd_idx, fwd_valid=fwd_val.reshape(S, N * 8, 128),
+            bwd_cidx=bwd_cidx, bwd_x=bwd_x, bwd_y=bwd_y,
+            bwd_valid=okc.reshape(S, H, W))]
 
     ti = tile_idx // tx
     tj = tile_idx - ti * tx

@@ -78,6 +78,7 @@ def tile_parallel_pass(mesh: Mesh, params: PatchMatchParams,
     return run
 
 
+@functools.lru_cache(maxsize=8)
 def make_state_sharder(mesh: Mesh, tile_axis: str = "tile"):
     """``PlaneState -> PlaneState`` width-sharding hook for the production
     pass (pipeline/patchmatch.run_patchmatch ``shard_state=``): pins the
@@ -85,7 +86,11 @@ def make_state_sharder(mesh: Mesh, tile_axis: str = "tile"):
     stencils with halo exchange over ICI.  Used by the pipeline's
     ``--tile-shard`` mode for frames too large for one chip's working set;
     the Pallas fast paths do not partition, so that mode runs the exact
-    array-program path (the CLI forces fast/rect off)."""
+    array-program path (the CLI forces fast/rect off).
+
+    lru_cached per (mesh, axis): the closure is a STATIC jit argument of
+    ``run_patchmatch`` (cached by object identity), so handing every problem
+    a fresh closure would recompile the full pass per image (advisor r3)."""
     row_shard = NamedSharding(mesh, P(None, tile_axis))
 
     def shard(state):

@@ -86,8 +86,12 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
     shares one program per pass variant (a wider bbox/budget/window only
     adds coverage; batch_runner applies the same reduction per chunk).
 
-    Returns ``(comp_hw, live_n, iwin_pinhole, iwin_sphere)`` or None when no
-    problem rectifies.
+    Returns ``(comp_hw, live_n, iwin_pinhole, iwin_sphere, failed_ids)`` or
+    None when no problem rectifies.  ``failed_ids`` lists problems whose
+    settings derivation raised: they are EXCLUDED from the max-reduction, so
+    ``load_problem`` must not clamp the unified tuple onto them (their bbox /
+    live budget may exceed the scene max) -- it derives per-problem instead
+    (round-3 advisor finding).
     """
     from acmmp_spherical_tpu.ops.rectify import (
         host_rectifiable, rect_comp_shape, rect_init_window,
@@ -102,6 +106,7 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
     live = None
     iwin_p = None
     iwin_s = None
+    failed = set()
     for problem in problems:
         try:
             ref_cam, h, w = _view_geometry(sp, problem.ref_image_id,
@@ -136,11 +141,13 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
                 iwin_s = iw if iwin_s is None else (
                     0 if 0 in (iwin_s, iw) else max(iwin_s, iw))
         except Exception:
-            log.exception("rect settings for image %08d failed; skipping",
-                          problem.ref_image_id)
+            failed.add(problem.ref_image_id)
+            log.exception("rect settings for image %08d failed; it will "
+                          "derive per-problem settings instead of the "
+                          "unified tuple", problem.ref_image_id)
     if comp is None and iwin_s is None:
         return None
-    return (comp, live, iwin_p, iwin_s)
+    return (comp, live, iwin_p, iwin_s, frozenset(failed))
 
 
 def _pad_stack(arrays: Sequence[np.ndarray], shape=None) -> np.ndarray:
@@ -228,10 +235,17 @@ def load_problem(
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
         rhw = rect_shape(ref_img.shape[0], ref_img.shape[1])
         if n_src and host_rectifiable(ref_cam, stacked, rhw):
-            if cfg.rect_unify is not None and cfg.rect_unify[0] is not None:
+            unify = cfg.rect_unify
+            # problems whose settings derivation failed during unification
+            # were excluded from the max-reduction: never clamp the unified
+            # tuple onto them (advisor r3) -- derive per-problem below
+            unify_ok = (unify is not None and unify[0] is not None
+                        and not (len(unify) > 4
+                                 and problem.ref_image_id in unify[4]))
+            if unify_ok:
                 # scene-wide unified shapes: one compiled program per pass
                 # variant per scale (see compute_scene_rect_settings)
-                chw, live_n, iwin, _ = cfg.rect_unify
+                chw, live_n, iwin = unify[0], unify[1], unify[2]
                 chw = (min(chw[0], rhw[0]), min(chw[1], rhw[1]))
                 iwin = iwin or 0
             else:
@@ -257,8 +271,11 @@ def load_problem(
 
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
         if n_src and sphere_rectifiable(ref_cam, stacked):
-            if cfg.rect_unify is not None and cfg.rect_unify[3] is not None:
-                iwin = cfg.rect_unify[3]
+            unify = cfg.rect_unify
+            if (unify is not None and unify[3] is not None
+                    and not (len(unify) > 4
+                             and problem.ref_image_id in unify[4])):
+                iwin = unify[3]
             else:
                 iwin = sphere_init_window(ref_cam, stacked,
                                           min_scale=cfg.depth_min_scale)

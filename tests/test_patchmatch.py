@@ -84,6 +84,60 @@ def test_median_filter_removes_spikes():
     assert out2[5, 5] == 50.0
 
 
+@pytest.mark.slow
+def test_prior_pass_rect_matches_exact_quality():
+    """Planar-prior passes are rect-eligible (round-4): the rect-path prior
+    re-run must match the exact-path prior re-run's depth quality on the
+    golden.  Mirrors the pipeline's prior sub-loop (pass_runner: photometric
+    pass -> Delaunay prior -> prior-mode pass with prev_state;
+    reference main.cpp:139-186)."""
+    import dataclasses
+
+    from acmmp_spherical_tpu.config import PriorConfig
+    from acmmp_spherical_tpu.ops.rectify import (
+        rect_comp_shape, rect_init_window, rect_live_tile_count, rect_shape,
+    )
+    from acmmp_spherical_tpu.pipeline.prior import build_planar_prior
+
+    W, H, n = 96, 64, 4
+    inputs, params, depths, normals, cams = make_inputs(
+        PINHOLE, n_views=n, W=W, H=H)
+    dmin, dmax = np.asarray(cams[0].depth_range)
+    stacked = stack_cameras(cams[1:])
+    rhw = rect_shape(H, W)
+    chw = rect_comp_shape(cams[0], stacked, rhw)
+    iwin = rect_init_window(cams[0], stacked, rhw)
+    rect_params = dataclasses.replace(
+        params, rect_ncc=True, rect_comp_hw=chw,
+        rect_live_n=rect_live_tile_count(cams[0], stacked, rhw, chw),
+        rect_init=iwin > 0, rect_init_win=iwin or 384)
+
+    def run_with_prior(p):
+        key = jax.random.key(11)
+        d, _, cost, state = run_patchmatch(inputs, p, key)
+        pn, pw, mask, _ = build_planar_prior(
+            cams[0], np.asarray(d), np.asarray(cost),
+            float(dmin), float(dmax), PriorConfig())
+        assert mask.any()
+        pin = inputs._replace(
+            prior_normal=jnp.asarray(pn), prior_w=jnp.asarray(pw),
+            prior_mask=jnp.asarray(mask))
+        d2, *_ = run_patchmatch(pin, p.with_planar_prior(),
+                                jax.random.fold_in(key, 1), prev_state=state)
+        return np.asarray(d2)
+
+    gt = depths[0]
+    interior = np.s_[6:-6, 6:-6]
+
+    def med(d):
+        return np.median(np.abs(d[interior] - gt[interior]) / gt[interior])
+
+    med_exact = med(run_with_prior(params))
+    med_rect = med(run_with_prior(rect_params))
+    assert med_exact < 0.02, med_exact
+    assert med_rect < max(0.02, 2.0 * med_exact), (med_rect, med_exact)
+
+
 def test_odd_size_fallback_path():
     """Odd image sizes take the dense parity-masked path; results stay sane."""
     from acmmp_spherical_tpu.utils.synthetic import CubeRoom, make_ring_of_cameras, render_scene
