@@ -99,6 +99,13 @@ class PatchMatchParams:
     # inside the warped-reference footprint (~43% of the bbox at the bench
     # operating point) are gathered/computed.  None = keep every bbox tile.
     rect_live_n: "int | None" = None
+    # static (WR, WC) window of the Pallas warp-gather transport
+    # (ops/rectify.rect_warp_window, host-side per problem): the plane
+    # coefficient transport onto the compacted live tiles runs as an
+    # in-kernel windowed 2D gather instead of an XLA row-gather (measured
+    # 91 vs 349 ms per C=9 invocation at the bench point).  None = XLA
+    # row-gather transport.
+    rect_warp_hw: "tuple[int, int] | None" = None
     # route the initial-field cost evaluation through the rectified kernel
     # too (instead of the exact path): safe whenever the problem's FULL
     # plausible disparity span fits the kernel's source window, so even a

@@ -337,6 +337,146 @@ def _rect_kernel(srow_ref, toy_ref, tox_ref, ref_ref, src_ref, *rest,
                 gout_ref[c, 0] = jnp.where(gok, jnp.minimum(gmax, err), gmax)
 
 
+def _warp_transport_kernel(oy_ref, ox_ref, nry_ref, rel_ref, v_ref, tabd_ref,
+                           tabab_ref, outd_ref, outab_ref, wind, winab,
+                           sem_d, sem_ab, *, C, WR, WC, Ht, Wt):
+    """In-kernel windowed 2D warp gather: the plane-coefficient transport.
+
+    Per (8, 128) compact rect tile, DMA the original-grid table window
+    covering the tile's claimant bbox (precomputed per-pass origins,
+    TransportMaps.warp_oy/ox) and extract each pixel's (D, AB) with a
+    loop-swapped row one-hot: the (row, chunk) selection masks and lane
+    indices are computed once and shared by all C candidate planes (probe:
+    91 ms for C=9 vs 349 ms XLA row-gather at the bench point; a lax.cond
+    row gate was 4x SLOWER -- Mosaic branch overhead -- and rejected;
+    scripts/probe_warp_gather.py).  Exactness: the claimant attribution is
+    the map's own (rel carries the exact scatter winner), so the outputs
+    are bit-identical to the XLA row-gather path."""
+    s = pl.program_id(0)
+    k = pl.program_id(1)
+    outd_ref[:, 0] = jnp.full((C, TILE_H, TILE_W), -1e9, jnp.float32)
+    outab_ref[:, 0] = jnp.zeros((C, TILE_H, TILE_W), jnp.float32)
+
+    @pl.when(jnp.max(v_ref[0]) > 0.5)
+    def _():
+        oy = oy_ref[s, k]
+        ox = ox_ref[s, k]
+        # align origins down; clamp so the static window stays in the table
+        # (claimants are always covered: fy - y0 <= WR + 7 by construction)
+        y0 = pl.multiple_of(
+            jnp.clip(oy & ~7, 0, Ht - (WR + 8)), 8)
+        x0 = pl.multiple_of(
+            jnp.clip(ox & ~127, 0, Wt - (WC + 128)), 128)
+        cpd = pltpu.make_async_copy(
+            tabd_ref.at[s, :, pl.ds(y0, WR + 8), pl.ds(x0, WC + 128)],
+            wind, sem_d)
+        cpd.start()
+        cpab = pltpu.make_async_copy(
+            tabab_ref.at[s, :, pl.ds(y0, WR + 8), pl.ds(x0, WC + 128)],
+            winab, sem_ab)
+        cpab.start()
+        rel = rel_ref[0]
+        ry = (rel >> 12) + (oy - y0)
+        rx = (rel & 4095) + (ox - x0)
+        vmask = v_ref[0] > 0.5
+        cpd.wait()
+        cpab.wait()
+
+        # fori_loop over 8-row GROUPS (static unroll within a group): a full
+        # static unroll lets Mosaic hoist every row load to the top of the
+        # kernel -- (WR+8) * chunks * 2C live (8, 128) tiles blew the VMEM
+        # stack at WR=104 (measured: 16.5 MB scoped-vmem OOM) -- while a
+        # per-ROW fori needs dynamically-offset (1, 128) broadcasts that
+        # Mosaic rejects ("Invalid input layout").  Aligned dynamic 8-row
+        # group loads + static sub-row slices avoid both.
+        n_chunks = (WC + 128) // 128
+
+        def body(g, carry):
+            accd, accab = list(carry[0]), list(carry[1])
+            r0 = pl.multiple_of(g * 8, 8)
+            grpd = wind[:, pl.ds(r0, 8), :]            # (C, 8, WC+128)
+            grpab = winab[:, pl.ds(r0, 8), :]
+            for r in range(8):
+                rsel = ry == r0 + r
+                for cx in range(n_chunks):
+                    lo = cx * 128
+                    idx = jnp.clip(rx - lo, 0, 127)
+                    msel = rsel & (rx >= lo) & (rx < lo + 128) & vmask
+                    for c in range(C):
+                        vd = jnp.take_along_axis(
+                            jnp.broadcast_to(grpd[c, r, lo:lo + 128][None],
+                                             (TILE_H, TILE_W)),
+                            idx, axis=1, mode="promise_in_bounds")
+                        vab = jnp.take_along_axis(
+                            jnp.broadcast_to(grpab[c, r, lo:lo + 128][None],
+                                             (TILE_H, TILE_W)),
+                            idx, axis=1, mode="promise_in_bounds")
+                        accd[c] = jnp.where(msel, vd, accd[c])
+                        accab[c] = jnp.where(msel, vab, accab[c])
+            return tuple(accd), tuple(accab)
+
+        # dynamic trip count: only the 8-row groups this TILE's claimants
+        # actually span (per-tile max rel_y + alignment slack) -- pairs with
+        # no in-plane rotation iterate ~1/3 of the scene-max static window
+        n_groups = jnp.minimum(
+            (nry_ref[s, k] + (oy - y0) + 8) // 8, (WR + 8) // 8)
+        accd, accab = jax.lax.fori_loop(
+            0, n_groups, body,
+            (tuple(jnp.full((TILE_H, TILE_W), -1e9, jnp.float32)
+                   for _ in range(C)),
+             tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                   for _ in range(C))))
+        for c in range(C):
+            outd_ref[c, 0] = accd[c]
+            outab_ref[c, 0] = accab[c]
+
+
+def warp_transport(tab_d, tab_ab, maps, warp_win, *, interpret=False):
+    """Transport (S, C, H, Wt) coefficient planes onto the compacted live
+    tiles -> (D (C, S, K8, 128), AB (C, S, K8, 128)); bit-identical to the
+    XLA row-gather through maps.fwd_idx (invalid pixels: D=-1e9, AB=0)."""
+    S, C, Ht, Wt = tab_d.shape
+    WR, WC = warp_win
+    # pad small tables so the clamped window DMA stays in bounds (production
+    # grids are larger than the window; pads only fire on tiny scenes)
+    pht = max(0, (WR + 8) - Ht)
+    pwt = max(0, (WC + 128) - Wt)
+    pht += (-(Ht + pht)) % 8
+    pwt += (-(Wt + pwt)) % 128
+    if pht or pwt:
+        pad = ((0, 0), (0, 0), (0, pht), (0, pwt))
+        tab_d = jnp.pad(tab_d, pad, constant_values=-1e9)
+        tab_ab = jnp.pad(tab_ab, pad)
+    K8 = maps.fwd_valid.shape[1]
+    N = K8 // TILE_H
+    kern = functools.partial(
+        _warp_transport_kernel, C=C, WR=WR, WC=WC,
+        Ht=Ht + pht, Wt=Wt + pwt)
+    smem = lambda: pl.BlockSpec((S, N), lambda s, k: (0, 0),
+                                memory_space=pltpu.SMEM)
+    plane = lambda: pl.BlockSpec((1, TILE_H, TILE_W), lambda s, k: (s, k, 0))
+    cout = lambda: pl.BlockSpec((C, 1, TILE_H, TILE_W),
+                                lambda s, k: (0, s, k, 0))
+    oshape = jax.ShapeDtypeStruct((C, S, K8, TILE_W), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(S, N),
+        in_specs=[smem(), smem(), smem(), plane(), plane(),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[cout(), cout()],
+        out_shape=[oshape, oshape],
+        scratch_shapes=[
+            pltpu.VMEM((C, WR + 8, WC + 128), jnp.float32),
+            pltpu.VMEM((C, WR + 8, WC + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(maps.warp_oy, maps.warp_ox, maps.warp_nry, maps.warp_rel,
+      maps.fwd_valid, tab_d, tab_ab)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("params", "interpret", "with_geom",
                                     "parity"))
@@ -371,41 +511,72 @@ def rect_batched_ncc(
     S = maps.bwd_cidx.shape[0]
     cost_max = params.cost_max
 
-    # ---- affine coefficients on the evaluation grid, (S, M, C*2) layout ---
-    n_r = jnp.einsum("sij,chwj->shwci", rect.pr.R_rr, normals,
-                     precision=jax.lax.Precision.HIGHEST)  # (S,H,Wg,C,3)
-    f = rect.pr.K[:, 0][:, None, None, None]
-    wply = jnp.moveaxis(ws, 0, -1)[None]          # (1, H, Wg, C)
-    scale = -rect.pr.baseline[:, None, None, None] / jnp.where(
-        jnp.abs(wply) < 1e-20, 1e-20, wply)
-    A = scale * n_r[..., 0]
-    B = scale * n_r[..., 1]
-    cterm = scale * n_r[..., 2] * f
-    # D is evaluated ON THE EVALUATION GRID at each pixel's ROUNDED rect
-    # coordinates (the backward map) -- identical, by the
-    # fwd = exact-inverse-of-round(bwd) construction, to evaluating at the
-    # claimed rect pixel's own integer coordinates, but it shrinks the
-    # per-invocation forward gather from 3 to 2 floats per candidate: the
-    # gather cost scales with row count AND width on v5e (PERF.md), so both
-    # are levers.  A and B ride packed as a (bf16, bf16) pair in one f32
-    # lane (see pack_ab).
-    cx = rect.pr.K[:, 1][:, None, None, None]     # (S, 1, 1, 1)
-    cy = rect.pr.K[:, 2][:, None, None, None]
-    off_x = rect.srow[:, 3][:, None, None, None]
-    off_y = rect.srow[:, 2][:, None, None, None]
-    xb = maps.bwd_x.astype(jnp.float32).reshape(S, H, Wg)[..., None]
-    yb = maps.bwd_y.astype(jnp.float32).reshape(S, H, Wg)[..., None]
-    D = A * (xb + off_x - cx) + B * (yb + off_y - cy) + cterm
-    D = jnp.where(jnp.isfinite(D) & (jnp.abs(D) < 1e8), D, -1e9)
-    table = jnp.stack([D, pack_ab(A, B)], -1).reshape(S, H * Wg, C * 2)
+    use_warp = (params.rect_warp_hw is not None
+                and maps.warp_rel is not None)
+    if use_warp:
+        # ---- plane-major coefficients + Pallas warp-gather transport ------
+        # (S, C, H, Wg) element planes -- no post-gather transpose -- then
+        # the in-kernel windowed 2D gather (warp_transport): bit-identical
+        # to the XLA row-gather, ~3.8x faster at the bench point (PERF.md
+        # round 4)
+        from acmmp_spherical_tpu.ops.rectify import warp_windows
 
-    # ---- gather onto the compacted live tiles through the forward map -----
-    K8 = maps.fwd_valid.shape[1]                  # N*8
-    dab = jax.vmap(lambda t, idx: t[idx])(table, maps.fwd_idx)
-    dab = dab.reshape(S, K8, 128, C, 2)
-    D = dab[..., 0].transpose(3, 0, 1, 2)         # (C, S, K8, 128)
-    AB = dab[..., 1].transpose(3, 0, 1, 2)
-    D = jnp.where(maps.fwd_valid[None] > 0.5, D, -1e9)  # coverage-rejected
+        n_r = jnp.einsum("sij,chwj->scihw", rect.pr.R_rr, normals,
+                         precision=jax.lax.Precision.HIGHEST)  # (S,C,3,H,W)
+        f = rect.pr.K[:, 0][:, None, None, None]
+        wply = ws[None]                           # (1, C, H, Wg)
+        scale = -rect.pr.baseline[:, None, None, None] / jnp.where(
+            jnp.abs(wply) < 1e-20, 1e-20, wply)
+        A = scale * n_r[:, :, 0]
+        B = scale * n_r[:, :, 1]
+        cterm = scale * n_r[:, :, 2] * f
+        cx = rect.pr.K[:, 1][:, None, None, None]
+        cy = rect.pr.K[:, 2][:, None, None, None]
+        off_x = rect.srow[:, 3][:, None, None, None]
+        off_y = rect.srow[:, 2][:, None, None, None]
+        xb = maps.bwd_x.astype(jnp.float32).reshape(S, 1, H, Wg)
+        yb = maps.bwd_y.astype(jnp.float32).reshape(S, 1, H, Wg)
+        D = A * (xb + off_x - cx) + B * (yb + off_y - cy) + cterm
+        D = jnp.where(jnp.isfinite(D) & (jnp.abs(D) < 1e8), D, -1e9)
+        win = warp_windows(params.rect_warp_hw)[0 if parity is None else 1]
+        D, AB = warp_transport(D, pack_ab(A, B), maps, win,
+                               interpret=interpret)
+    else:
+        # ---- affine coefficients on the evaluation grid, (S, M, C*2) ------
+        n_r = jnp.einsum("sij,chwj->shwci", rect.pr.R_rr, normals,
+                         precision=jax.lax.Precision.HIGHEST)  # (S,H,Wg,C,3)
+        f = rect.pr.K[:, 0][:, None, None, None]
+        wply = jnp.moveaxis(ws, 0, -1)[None]          # (1, H, Wg, C)
+        scale = -rect.pr.baseline[:, None, None, None] / jnp.where(
+            jnp.abs(wply) < 1e-20, 1e-20, wply)
+        A = scale * n_r[..., 0]
+        B = scale * n_r[..., 1]
+        cterm = scale * n_r[..., 2] * f
+        # D is evaluated ON THE EVALUATION GRID at each pixel's ROUNDED rect
+        # coordinates (the backward map) -- identical, by the
+        # fwd = exact-inverse-of-round(bwd) construction, to evaluating at
+        # the claimed rect pixel's own integer coordinates, but it shrinks
+        # the per-invocation forward gather from 3 to 2 floats per
+        # candidate: the gather cost scales with row count AND width on v5e
+        # (PERF.md), so both are levers.  A and B ride packed as a
+        # (bf16, bf16) pair in one f32 lane (see pack_ab).
+        cx = rect.pr.K[:, 1][:, None, None, None]     # (S, 1, 1, 1)
+        cy = rect.pr.K[:, 2][:, None, None, None]
+        off_x = rect.srow[:, 3][:, None, None, None]
+        off_y = rect.srow[:, 2][:, None, None, None]
+        xb = maps.bwd_x.astype(jnp.float32).reshape(S, H, Wg)[..., None]
+        yb = maps.bwd_y.astype(jnp.float32).reshape(S, H, Wg)[..., None]
+        D = A * (xb + off_x - cx) + B * (yb + off_y - cy) + cterm
+        D = jnp.where(jnp.isfinite(D) & (jnp.abs(D) < 1e8), D, -1e9)
+        table = jnp.stack([D, pack_ab(A, B)], -1).reshape(S, H * Wg, C * 2)
+
+        # ---- gather onto the compacted live tiles through the fwd map -----
+        K8 = maps.fwd_valid.shape[1]                  # N*8
+        dab = jax.vmap(lambda t, idx: t[idx])(table, maps.fwd_idx)
+        dab = dab.reshape(S, K8, 128, C, 2)
+        D = dab[..., 0].transpose(3, 0, 1, 2)         # (C, S, K8, 128)
+        AB = dab[..., 1].transpose(3, 0, 1, 2)
+        D = jnp.where(maps.fwd_valid[None] > 0.5, D, -1e9)  # coverage-rej.
 
     sdisp = rect.rect_sdisp if with_geom else None
     return run_rect_kernel(rect.srow, rect.rect_ref, rect.rect_src, D, AB,

@@ -115,6 +115,7 @@ def prepare_inputs(inputs: "PatchMatchInputs",
                 src_depths=(inputs.src_depths
                             if params.geom_consistency else None),
                 live_n=params.rect_live_n,
+                warp_hw=params.rect_warp_hw,
             )
             inputs = inputs._replace(rect=rect)
         elif (inputs.ref_cam.model == SPHERE

@@ -246,6 +246,107 @@ def rect_live_tile_count(ref_cam: Camera, src_cams: Cameras,
     return min(ty * tx, -(-best // 32) * 32)
 
 
+def rect_warp_window(ref_cam: Camera, src_cams: Cameras,
+                     rect_hw: tuple[int, int],
+                     *, max_wr: int = 152, max_wc: int = 1024
+                     ) -> "tuple[int, int] | None":
+    """Static (WR, WC) window of the Pallas warp-gather transport, or None.
+
+    The warp-gather transport kernel (ops/pallas/ncc_rect.warp_transport)
+    replaces the per-invocation XLA fwd row-gather: per (8, 128) compact
+    rect tile it DMAs the original-grid table window covering the tile's
+    claimant bbox and extracts each pixel in-register (measured 91 ms vs
+    349 ms XLA at the bench point, scripts/probe_warp_gather.py).  The
+    window must statically bound the per-tile claimant extent: claimants
+    follow the backward map H0^-1, so the extent is the rect->orig Jacobian
+    applied to the (8, 128) tile plus rounding/collision slack.  This mirror
+    evaluates the Jacobian by finite differences at the warped-ref footprint
+    corners of every pair (same float64 math as rect_comp_shape) and returns
+    the max, quantised (rows to 8, cols to 128).  Returns None when the
+    extent exceeds ``max_wr``/``max_wc`` (adverse geometry -- the caller
+    falls back to the XLA gather transport).
+    """
+    hr, wr = rect_hw
+    margin = 2.0
+    R0 = np.asarray(ref_cam.R, np.float64)
+    t0 = np.asarray(ref_cam.t, np.float64)
+    K0 = np.asarray(ref_cam.K, np.float64)
+    C0 = -R0.T @ t0
+    Rs = np.asarray(src_cams.R, np.float64)
+    ts = np.asarray(src_cams.t, np.float64)
+    Ks = np.asarray(src_cams.K, np.float64)
+    whs = np.asarray(src_cams.wh, np.float64)
+    f0 = K0[0, 0]
+    W0 = float(np.asarray(ref_cam.width))
+    H0_ = float(np.asarray(ref_cam.height))
+
+    def corner_uv(R_cr, K, W_, H_):
+        corners = np.array([[0.0, 0.0, 1.0], [W_ - 1.0, 0.0, 1.0],
+                            [0.0, H_ - 1.0, 1.0], [W_ - 1.0, H_ - 1.0, 1.0]])
+        q = corners @ (R_cr @ np.linalg.inv(K)).T
+        if np.any(q[:, 2] <= 1e-6):
+            return None
+        return q[:, 0] / q[:, 2], q[:, 1] / q[:, 2]
+
+    best_y = best_x = 0.0
+    for s in range(Rs.shape[0]):
+        C1 = -Rs[s].T @ ts[s]
+        b = C1 - C0
+        bn = np.linalg.norm(b)
+        if bn < 1e-9:
+            return None
+        e1 = b / bn
+        e2 = np.cross(R0[2], e1)
+        n2 = np.linalg.norm(e2)
+        if n2 < 1e-3:
+            return None
+        e2 = e2 / n2
+        R_rect = np.stack([e1, e2, np.cross(e1, e2)])
+        R_rr = R_rect @ R0.T
+        uv0 = corner_uv(R_rr, K0, W0, H0_)
+        uv1 = corner_uv(R_rect @ Rs[s].T, Ks[s], whs[s, 0], whs[s, 1])
+        if uv0 is None or uv1 is None:
+            return None
+        u = np.concatenate([uv0[0], uv1[0]])
+        v = np.concatenate([uv0[1], uv1[1]])
+        du = max(u.max() - u.min(), 1e-12)
+        dv = max(v.max() - v.min(), 1e-12)
+        f = min(f0, (wr - 1.0 - 2 * margin) / du, (hr - 1.0 - 2 * margin) / dv)
+        if not np.isfinite(f):
+            return None
+        cx = margin - f * u.min()
+        cy = margin - f * v.min()
+        Km = np.array([[f, 0.0, cx], [0.0, f, cy], [0.0, 0.0, 1.0]])
+        H0inv = K0 @ R_rr.T @ np.linalg.inv(Km)
+
+        def orig(px, py):
+            q = H0inv @ np.array([px, py, 1.0])
+            return q[:2] / q[2]
+
+        # footprint corners in rect px; finite-difference Jacobian there
+        for qx, qy in zip(f * uv0[0] + cx, f * uv0[1] + cy):
+            o0 = orig(qx, qy)
+            jx = orig(qx + 1.0, qy) - o0          # d(orig)/d(rect x)
+            jy = orig(qx, qy + 1.0) - o0          # d(orig)/d(rect y)
+            best_x = max(best_x, 8.0 * abs(jy[0]) + 128.0 * abs(jx[0]))
+            best_y = max(best_y, 8.0 * abs(jy[1]) + 128.0 * abs(jx[1]))
+    # slack: bwd-map rounding (1), collision displacement (2), map min
+    # quantisation (1), margin for f32-vs-f64 drift (2)
+    WR = -(-int(np.ceil(best_y + 6.0)) // 8) * 8
+    WC = -(-int(np.ceil(best_x + 8.0)) // 128) * 128
+    if WR > max_wr or WC > max_wc:
+        return None
+    return max(8, WR), max(128, WC)
+
+
+def warp_windows(warp_hw: tuple[int, int]):
+    """(full, parity) static warp-gather windows: parity tables are packed
+    half-grids (x -> x // 2), so the column extent halves."""
+    WR, WC = warp_hw
+    WCp = max(128, -(-(WC // 2 + 4) // 128) * 128)
+    return (WR, WC), (WR, WCp)
+
+
 def rect_span_fits(ref_cam: Camera, src_cams: Cameras,
                    rect_hw: tuple[int, int], *, usable: int = 240,
                    min_scale: float = 1.0, max_scale: float = 1.0) -> bool:
@@ -547,6 +648,23 @@ class TransportMaps(NamedTuple):
     bwd_x: jax.Array      # (S, M) int32 claimed rect pixel, bbox coords
     bwd_y: jax.Array      # (S, M) int32
     bwd_valid: jax.Array  # (S, H, W) or (S, H, W//2) bool
+    # warp-gather transport tables (present when build_rect_context was
+    # given a static warp window -- ops/pallas/ncc_rect.warp_transport):
+    # per-tile claimant-bbox origins in TABLE-GRID coords + packed in-window
+    # rel coords (rel_y * 4096 + rel_x).  Claimants outside the static
+    # window were cleared from fwd_valid at build time (degrade-not-corrupt,
+    # same semantics as a live_n overflow) -- improbable under the
+    # rect_warp_window host-mirror margin.
+    warp_rel: "jax.Array | None" = None  # (S, N*8, 128) int32
+    warp_oy: "jax.Array | None" = None   # (S, N) int32
+    warp_ox: "jax.Array | None" = None   # (S, N) int32
+    warp_nry: "jax.Array | None" = None  # (S, N) int32 max rel_y per tile:
+                                         # the kernel's row loop runs only
+                                         # ceil((nry + align + 1)/8) groups,
+                                         # so pairs/tiles with small row
+                                         # extent (no in-plane rotation) pay
+                                         # only their own extent, not the
+                                         # scene-max static window
 
 
 def build_transport_maps(
@@ -559,6 +677,7 @@ def build_transport_maps(
     ox: jax.Array,          # (S,)
     live_n: "int | None" = None,
     parity_maps: bool = True,
+    warp_hw: "tuple[int, int] | None" = None,
 ):
     """Compacted transport maps (full + per-parity) from the backward map.
 
@@ -605,6 +724,33 @@ def build_transport_maps(
 
     oflat = jnp.arange(H * W, dtype=jnp.int32)
 
+    def warp_tables(fidx, fval, Wt, win):
+        """Per-tile claimant-bbox origins + packed in-window rel coords for
+        the warp-gather transport; clears claimants outside the static
+        window from the validity plane (returns the clipped fval)."""
+        if win is None:
+            return None, None, None, None, fval
+        WRw, WCw = win
+        big = jnp.int32(1 << 28)
+        fy = fidx // Wt
+        fx = fidx - fy * Wt
+        ok = fval.reshape(S, -1) > 0.5
+        oy_t = jnp.min(jnp.where(ok, fy, big).reshape(S, N, 1024), axis=2)
+        ox_t = jnp.min(jnp.where(ok, fx, big).reshape(S, N, 1024), axis=2)
+        oy_t = jnp.where(oy_t >= big, 0, oy_t).astype(jnp.int32)
+        ox_t = jnp.where(ox_t >= big, 0, ox_t).astype(jnp.int32)
+        rely = fy.reshape(S, N, 1024) - oy_t[..., None]
+        relx = fx.reshape(S, N, 1024) - ox_t[..., None]
+        inw = ok.reshape(S, N, 1024) & (rely < WRw) & (relx < WCw)
+        rel = jnp.where(inw, rely * 4096 + relx, 0).astype(jnp.int32)
+        nry = jnp.max(jnp.where(inw, rely, 0), axis=2).astype(jnp.int32)
+        fval2 = fval * inw.reshape(S, N * 8, 128).astype(jnp.float32)
+        return rel.reshape(S, N * 8, 128), oy_t, ox_t, nry, fval2
+
+    win_full = win_par = None
+    if warp_hw is not None:
+        win_full, win_par = warp_windows(warp_hw)
+
     if parity_maps and H % 2 == 0 and W % 2 == 0:
         # per-parity rescatter: each checkerboard colour scatters its OWN
         # pixels, so a cross-colour collision (two original pixels of
@@ -639,24 +785,30 @@ def build_transport_maps(
         full_val = (pm[0] > 0) | (pm[1] > 0)
         full_idx = jnp.where(pm[1] > 0, unpack_orig(pm[1], 1),
                              jnp.where(pm[0] > 0, unpack_orig(pm[0], 0), 0))
+        fval_full = full_val.astype(jnp.float32).reshape(S, N * 8, 128)
+        wrel, woy, wox, wnry, fval_full = warp_tables(full_idx, fval_full, W,
+                                                      win_full)
         maps = [TransportMaps(
-            fwd_idx=full_idx,
-            fwd_valid=full_val.astype(jnp.float32).reshape(S, N * 8, 128),
+            fwd_idx=full_idx, fwd_valid=fval_full,
             bwd_cidx=bwd_cidx, bwd_x=bwd_x, bwd_y=bwd_y,
-            bwd_valid=okc.reshape(S, H, W))]
+            bwd_valid=okc.reshape(S, H, W),
+            warp_rel=wrel, warp_oy=woy, warp_ox=wox, warp_nry=wnry)]
 
         def packf(a):
             return checkerboard_pack(a.reshape(S, H, W), p).reshape(S, -1)
 
         for p in (0, 1):
+            fidx_p = jnp.maximum(pm[p] - 1, 0)
+            fval_p = (pm[p] > 0).astype(jnp.float32).reshape(S, N * 8, 128)
+            wrel, woy, wox, wnry, fval_p = warp_tables(fidx_p, fval_p,
+                                                       W // 2, win_par)
             maps.append(TransportMaps(
-                fwd_idx=jnp.maximum(pm[p] - 1, 0),
-                fwd_valid=(pm[p] > 0).astype(jnp.float32).reshape(
-                    S, N * 8, 128),
+                fwd_idx=fidx_p, fwd_valid=fval_p,
                 bwd_cidx=packf(bwd_cidx), bwd_x=packf(bwd_x),
                 bwd_y=packf(bwd_y),
                 bwd_valid=checkerboard_pack(
-                    okc.reshape(S, H, W), p)))
+                    okc.reshape(S, H, W), p),
+                warp_rel=wrel, warp_oy=woy, warp_ox=wox, warp_nry=wnry))
     else:
         def fwd(cidx, ok):
             t = jnp.where(ok, cidx, N * 1024)
@@ -665,10 +817,14 @@ def build_transport_maps(
             return fidx, fval
 
         fwd_idx, fwd_val = jax.vmap(fwd)(bwd_cidx, okc)
+        fwd_val = fwd_val.reshape(S, N * 8, 128)
+        wrel, woy, wox, wnry, fwd_val = warp_tables(fwd_idx, fwd_val, W,
+                                                    win_full)
         maps = [TransportMaps(
-            fwd_idx=fwd_idx, fwd_valid=fwd_val.reshape(S, N * 8, 128),
+            fwd_idx=fwd_idx, fwd_valid=fwd_val,
             bwd_cidx=bwd_cidx, bwd_x=bwd_x, bwd_y=bwd_y,
-            bwd_valid=okc.reshape(S, H, W))]
+            bwd_valid=okc.reshape(S, H, W),
+            warp_rel=wrel, warp_oy=woy, warp_ox=wox, warp_nry=wnry)]
 
     ti = tile_idx // tx
     tj = tile_idx - ti * tx
@@ -720,6 +876,9 @@ def build_rect_context(
     live_n: "int | None" = None,          # static live-tile budget
                                           # (rect_live_tile_count); None = all
     parity_maps: bool = True,             # also build per-parity maps
+    warp_hw: "tuple[int, int] | None" = None,  # static warp-gather window
+                                          # (rect_warp_window); None = the
+                                          # transport stays an XLA row-gather
 ) -> RectContext:
     """Build the per-pass rectified working set (all XLA; one per pass)."""
     from acmmp_spherical_tpu.ops.sampling import grid_coords, pack_bicubic
@@ -777,7 +936,7 @@ def build_rect_context(
     bwd_x, bwd_y, bwd_ok = jax.vmap(bwd)(pr.H0, off_y, off_x)
     maps, tile_oy, tile_ox = build_transport_maps(
         bwd_x, bwd_y, bwd_ok, (hb, wb), (H, W), off_y, off_x,
-        live_n=live_n, parity_maps=parity_maps)
+        live_n=live_n, parity_maps=parity_maps, warp_hw=warp_hw)
 
     dmin, dmax = depth_range[0], depth_range[1]
     fB = pr.K[:, 0] * pr.baseline

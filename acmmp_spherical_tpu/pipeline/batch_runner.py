@@ -111,7 +111,7 @@ def _make_chunk(g, n_dev) -> _Chunk:
         # safety net for callers that build chunks by hand
         params = dataclasses.replace(params, rect_ncc=False,
                                      rect_comp_hw=None, rect_live_n=None,
-                                     rect_init=False)
+                                     rect_init=False, rect_warp_hw=None)
     elif params.rect_ncc:
         # one static compute grid per chunk: the max bbox over its problems;
         # the live-tile budget and init window likewise max (wider only adds
@@ -121,10 +121,14 @@ def _make_chunk(g, n_dev) -> _Chunk:
               else (max(h[0] for h in hws), max(h[1] for h in hws)))
         lns = [p.rect_live_n for p in plist]
         ln = None if any(n is None for n in lns) else max(lns)
+        whs = [p.rect_warp_hw for p in plist]
+        wh = (None if any(w is None for w in whs)
+              else (max(w[0] for w in whs), max(w[1] for w in whs)))
         params = dataclasses.replace(
             params, rect_comp_hw=hw, rect_live_n=ln,
             rect_init=all(p.rect_init for p in plist),
-            rect_init_win=max(p.rect_init_win for p in plist))
+            rect_init_win=max(p.rect_init_win for p in plist),
+            rect_warp_hw=wh)
     return _Chunk(indices=list(idxs), lps=lps, params=params)
 
 

@@ -86,8 +86,11 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
     shares one program per pass variant (a wider bbox/budget/window only
     adds coverage; batch_runner applies the same reduction per chunk).
 
-    Returns ``(comp_hw, live_n, iwin_pinhole, iwin_sphere, failed_ids)`` or
-    None when no problem rectifies.  ``failed_ids`` lists problems whose
+    Returns ``(comp_hw, live_n, iwin_pinhole, iwin_sphere, failed_ids,
+    warp_hw)`` or None when no problem rectifies.  ``warp_hw`` is the
+    scene-max warp-gather transport window, or None when any problem's
+    geometry exceeds the static bound (the whole scale then keeps the XLA
+    gather transport -- one compiled program either way).  ``failed_ids`` lists problems whose
     settings derivation raised: they are EXCLUDED from the max-reduction, so
     ``load_problem`` must not clamp the unified tuple onto them (their bbox /
     live budget may exceed the scene max) -- it derives per-problem instead
@@ -95,7 +98,7 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
     """
     from acmmp_spherical_tpu.ops.rectify import (
         host_rectifiable, rect_comp_shape, rect_init_window,
-        rect_live_tile_count, rect_shape,
+        rect_live_tile_count, rect_shape, rect_warp_window,
     )
     from acmmp_spherical_tpu.ops.sphere_rect import (
         sphere_init_window, sphere_rectifiable,
@@ -106,6 +109,8 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
     live = None
     iwin_p = None
     iwin_s = None
+    warp = None
+    warp_none = False   # any problem with no usable warp window disables it
     failed = set()
     for problem in problems:
         try:
@@ -133,6 +138,12 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
                 live = ln if live is None else max(live, ln)
                 iwin_p = iw if iwin_p is None else (
                     0 if 0 in (iwin_p, iw) else max(iwin_p, iw))
+                whw = rect_warp_window(ref_cam, stacked, rhw)
+                if whw is None:
+                    warp_none = True
+                elif not warp_none:
+                    warp = (whw if warp is None else
+                            (max(warp[0], whw[0]), max(warp[1], whw[1])))
             elif ref_cam.model == "sphere":
                 if not sphere_rectifiable(ref_cam, stacked):
                     continue
@@ -147,7 +158,8 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
                           "unified tuple", problem.ref_image_id)
     if comp is None and iwin_s is None:
         return None
-    return (comp, live, iwin_p, iwin_s, frozenset(failed))
+    return (comp, live, iwin_p, iwin_s, frozenset(failed),
+            None if warp_none else warp)
 
 
 def _pad_stack(arrays: Sequence[np.ndarray], shape=None) -> np.ndarray:
@@ -248,15 +260,20 @@ def load_problem(
                 chw, live_n, iwin = unify[0], unify[1], unify[2]
                 chw = (min(chw[0], rhw[0]), min(chw[1], rhw[1]))
                 iwin = iwin or 0
+                warp_hw = unify[5] if len(unify) > 5 else None
             else:
+                from acmmp_spherical_tpu.ops.rectify import rect_warp_window
+
                 iwin = rect_init_window(ref_cam, stacked, rhw,
                                         min_scale=cfg.depth_min_scale,
                                         max_scale=cfg.depth_max_scale)
                 chw = rect_comp_shape(ref_cam, stacked, rhw)
                 live_n = rect_live_tile_count(ref_cam, stacked, rhw, chw)
+                warp_hw = rect_warp_window(ref_cam, stacked, rhw)
             params = dataclasses.replace(
                 params, rect_ncc=True, rect_comp_hw=chw, rect_live_n=live_n,
-                rect_init=iwin > 0, rect_init_win=iwin or 384)
+                rect_init=iwin > 0, rect_init_win=iwin or 384,
+                rect_warp_hw=warp_hw)
     if ref_cam.model == "sphere" and (
         cfg.rect_ncc == "on"
         or (cfg.rect_ncc == "auto" and jax.default_backend() == "tpu")
@@ -392,7 +409,7 @@ def process_problem(
 
         params = dataclasses.replace(params, fast_ncc=False, rect_ncc=False,
                                      rect_comp_hw=None, rect_live_n=None,
-                                     rect_init=False)
+                                     rect_init=False, rect_warp_hw=None)
         shard_state = make_state_sharder(tile_mesh)
         lp.inputs = jax.device_put(lp.inputs, NamedSharding(tile_mesh, P()))
 

@@ -111,10 +111,11 @@ def main() -> None:
     comp_hw = None
     live_n = None
     iwin = 0
+    warp_hw = None
     if fast:
         from acmmp_spherical_tpu.ops.rectify import (
             host_rectifiable, rect_comp_shape, rect_init_window,
-            rect_live_tile_count, rect_shape,
+            rect_live_tile_count, rect_shape, rect_warp_window,
         )
 
         rhw = rect_shape(H, W)
@@ -124,12 +125,15 @@ def main() -> None:
             comp_hw = rect_comp_shape(cams[0], stacked, rhw)
             live_n = rect_live_tile_count(cams[0], stacked, rhw, comp_hw)
             iwin = rect_init_window(cams[0], stacked, rhw)
+            warp_hw = rect_warp_window(cams[0], stacked, rhw)
     print(f"[bench] fast_ncc={fast} rect_ncc={rect} comp_hw={comp_hw} "
-          f"live_n={live_n} init_win={iwin}", file=sys.stderr)
+          f"live_n={live_n} init_win={iwin} warp_hw={warp_hw}",
+          file=sys.stderr)
     params = dataclasses.replace(
         PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=fast,
         rect_ncc=rect, rect_comp_hw=comp_hw, rect_live_n=live_n,
         rect_init=iwin > 0, rect_init_win=iwin or 384,
+        rect_warp_hw=warp_hw,
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(

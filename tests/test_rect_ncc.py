@@ -95,6 +95,48 @@ def test_rect_full_pass_quality(setup, rect_init, prescreen):
     assert np.median(rel[8:-8, 8:-8]) < 0.01, np.median(rel[8:-8, 8:-8])
 
 
+def test_warp_transport_matches_xla_gather(setup):
+    """The Pallas warp-gather transport (rect_warp_hw) returns bit-identical
+    costs to the XLA row-gather transport for every map (full + both
+    parities): the claimant attribution is the map's own, so only the
+    transport mechanism changes (PERF.md round 4)."""
+    import dataclasses
+
+    from acmmp_spherical_tpu.ops.rectify import rect_warp_window
+    from acmmp_spherical_tpu.ops.sampling import checkerboard_pack
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    rhw = rect_shape(H, W)
+    whw = rect_warp_window(ref_cam, src_cams, rhw)
+    assert whw is not None, "probe scene should have a bounded warp window"
+    rect_w = build_rect_context(images[0], images[1:], ref_cam, src_cams,
+                                (ref_cam.depth_range[0],
+                                 ref_cam.depth_range[1]),
+                                warp_hw=whw)
+    # the warp window clears no claimants on this scene (mirror margin)
+    for m_x, m_w in zip(rect.maps, rect_w.maps):
+        assert m_w.warp_rel is not None
+        np.testing.assert_array_equal(np.asarray(m_x.fwd_valid),
+                                      np.asarray(m_w.fwd_valid))
+    wparams = dataclasses.replace(params, rect_warp_hw=whw)
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.35])
+    c_x = np.asarray(rect_batched_ncc(rect, normals, ws, params,
+                                      interpret=True))
+    c_w = np.asarray(rect_batched_ncc(rect_w, normals, ws, wparams,
+                                      interpret=True))
+    np.testing.assert_array_equal(c_w, c_x)
+    for parity in (0, 1):
+        n_p = jnp.moveaxis(
+            checkerboard_pack(jnp.moveaxis(normals, -1, 1), parity), 1, -1)
+        w_p = checkerboard_pack(ws, parity)
+        c_xp = np.asarray(rect_batched_ncc(rect, n_p, w_p, params,
+                                           interpret=True, parity=parity))
+        c_wp = np.asarray(rect_batched_ncc(rect_w, n_p, w_p, wparams,
+                                           interpret=True, parity=parity))
+        np.testing.assert_array_equal(c_wp, c_xp)
+
+
 def test_rect_ncc_agrees_with_exact_ranking(setup):
     images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
     ctx = ref_tap_context(images[0], ref_cam, params)
