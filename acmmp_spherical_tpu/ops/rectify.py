@@ -911,13 +911,24 @@ def build_rect_context(
                                    packed16=ref_p16)
     )(pr.H0inv)
 
-    src_p16 = jax.vmap(
-        lambda img, wd, ht: pack_bicubic(img, wd, ht)
-    )(src_images, src_cams.width, src_cams.height)
-    rect_src = jax.vmap(
-        lambda img, pk, H1inv, wd, ht: warp_to_rect(
-            img, H1inv, wd, ht, (hr, wr), sentinel=True, packed16=pk)
-    )(src_images, src_p16, pr.H1inv, src_cams.width, src_cams.height)
+    if warp_hw is not None:
+        # kernelised sentinel-variant source warp: the XLA packed-row warp
+        # was the single largest context-build stage (554 of 862 ms at the
+        # bench point; PERF.md round 4 / scripts/profile_ctx_build.py)
+        from acmmp_spherical_tpu.ops.pallas.warp_image import warp_src_frames
+
+        rect_src = warp_src_frames(
+            src_images, pr.H1inv, src_cams.width, src_cams.height,
+            (hr, wr), warp_hw,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        src_p16 = jax.vmap(
+            lambda img, wd, ht: pack_bicubic(img, wd, ht)
+        )(src_images, src_cams.width, src_cams.height)
+        rect_src = jax.vmap(
+            lambda img, pk, H1inv, wd, ht: warp_to_rect(
+                img, H1inv, wd, ht, (hr, wr), sentinel=True, packed16=pk)
+        )(src_images, src_p16, pr.H1inv, src_cams.width, src_cams.height)
 
     # backward map: original pixel -> nearest rect pixel (bbox coords), then
     # the compacted transport maps (full + per-parity) -- the only scatters
@@ -952,7 +963,17 @@ def build_rect_context(
     srow = srow.at[:, 4].set(1.0 / jnp.maximum(pr.scale, 1e-6))
 
     rect_sdisp = None
-    if src_depths is not None:
+    if src_depths is not None and warp_hw is not None:
+        from acmmp_spherical_tpu.ops.pallas.warp_image import (
+            warp_src_disparities,
+        )
+
+        rect_sdisp = warp_src_disparities(
+            src_depths, pr.H1inv, pr.R_sr, src_cams.K,
+            pr.K[:, 0] * pr.baseline, src_cams.width, src_cams.height,
+            (hr, wr), warp_hw,
+            interpret=jax.default_backend() != "tpu")
+    elif src_depths is not None:
         # warp each source depth map into its pair's rect frame as the
         # implied rect disparity f*B/z_rect (trunc-nearest lookup like the
         # reference's depth reads, ACMMP.cu:657)

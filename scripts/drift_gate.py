@@ -40,9 +40,11 @@ def main() -> int:
     report = {"backend": backend,
               "device": str(getattr(jax.devices()[0], "device_kind", "?"))}
     ok = True
-    for name, fixture, rect in (("exact", F.FIXTURE, False),
-                                ("rect", F.FIXTURE_RECT, True)):
-        stats = F._stats(*F._run_golden_pass(rect=rect))
+    for name, fixture, rect, warp in (
+            ("exact", F.FIXTURE, False, False),
+            ("rect", F.FIXTURE_RECT, True, False),
+            ("warp", F.FIXTURE_WARP, True, True)):
+        stats = F._stats(*F._run_golden_pass(rect=rect, warp=warp))
         ref = json.loads(fixture.read_text())
         worst = max((abs(stats[k] - v) / max(args.atol, args.rtol * abs(v)))
                     for k, v in ref.items())

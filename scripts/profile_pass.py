@@ -54,6 +54,7 @@ def main():
     from acmmp_spherical_tpu.ops.rectify import (
         build_rect_context, host_rectifiable, rect_comp_shape,
         rect_init_window, rect_live_tile_count, rect_shape,
+        rect_warp_window,
     )
     from acmmp_spherical_tpu.ops.sampling import checkerboard_pack
     from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
@@ -80,13 +81,14 @@ def main():
     comp_hw = rect_comp_shape(cams[0], stacked, rhw)
     live_n = rect_live_tile_count(cams[0], stacked, rhw, comp_hw)
     iwin = rect_init_window(cams[0], stacked, rhw)
+    warp_hw = rect_warp_window(cams[0], stacked, rhw)
     T = (comp_hw[0] // 8) * (comp_hw[1] // 128)
-    print(f"live_n={live_n} of T={T} ({live_n/T:.2f})")
+    print(f"live_n={live_n} of T={T} ({live_n/T:.2f}) warp_hw={warp_hw}")
     params = dataclasses.replace(
         PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=True,
         rect_ncc=True, rect_comp_hw=comp_hw, rect_live_n=live_n,
         rect_init=iwin > 0, rect_init_win=iwin or 384,
-        rect_prescreen=args.prescreen,
+        rect_prescreen=args.prescreen, rect_warp_hw=warp_hw,
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(
@@ -99,7 +101,7 @@ def main():
     dr = (jnp.float32(dmin), jnp.float32(dmax))
     build = jax.jit(lambda: build_rect_context(
         inputs.ref_image, inputs.src_images, inputs.ref_cam, inputs.src_cams,
-        dr, comp_hw=comp_hw))
+        dr, comp_hw=comp_hw, live_n=live_n, warp_hw=warp_hw))
     t_ctx, rect = fence(build)
     print(f"build_rect_context: {t_ctx*1e3:8.1f} ms")
 

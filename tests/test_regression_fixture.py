@@ -29,9 +29,11 @@ import pytest
 FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "golden_pass_stats.json"
 FIXTURE_RECT = (pathlib.Path(__file__).parent / "fixtures"
                 / "golden_pass_stats_rect.json")
+FIXTURE_WARP = (pathlib.Path(__file__).parent / "fixtures"
+                / "golden_pass_stats_warp.json")
 
 
-def _run_golden_pass(rect: bool = False):
+def _run_golden_pass(rect: bool = False, warp: bool = False):
     import dataclasses
 
     from acmmp_spherical_tpu.config import PatchMatchParams
@@ -57,17 +59,20 @@ def _run_golden_pass(rect: bool = False):
     if rect:
         from acmmp_spherical_tpu.ops.rectify import (
             rect_comp_shape, rect_init_window, rect_live_tile_count,
-            rect_shape,
+            rect_shape, rect_warp_window,
         )
 
         rhw = rect_shape(H, W)
         stacked = stack_cameras(cams[1:])
         chw = rect_comp_shape(cams[0], stacked, rhw)
         iwin = rect_init_window(cams[0], stacked, rhw)
+        whw = rect_warp_window(cams[0], stacked, rhw) if warp else None
+        assert whw is not None or not warp
         params = dataclasses.replace(
             params, rect_ncc=True, rect_comp_hw=chw,
             rect_live_n=rect_live_tile_count(cams[0], stacked, rhw, chw),
-            rect_init=iwin > 0, rect_init_win=iwin or 384)
+            rect_init=iwin > 0, rect_init_win=iwin or 384,
+            rect_warp_hw=whw)
     d, nrm, cost, _ = run_patchmatch(inputs, params, jax.random.key(2333))
     return np.asarray(d), np.asarray(nrm), np.asarray(cost)
 
@@ -111,6 +116,14 @@ def test_golden_pass_regression_rect():
     check_against_fixture(stats, json.loads(FIXTURE_RECT.read_text()))
 
 
+@pytest.mark.slow
+def test_golden_pass_regression_warp():
+    """The rect path with the round-4 warp-gather transport + kernelised
+    source warp (the production TPU configuration) against its snapshot."""
+    stats = _stats(*_run_golden_pass(rect=True, warp=True))
+    check_against_fixture(stats, json.loads(FIXTURE_WARP.read_text()))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -123,4 +136,7 @@ if __name__ == "__main__":
         FIXTURE.write_text(json.dumps(_stats(*_run_golden_pass()), indent=1))
         FIXTURE_RECT.write_text(
             json.dumps(_stats(*_run_golden_pass(rect=True)), indent=1))
-        print(f"wrote {FIXTURE} and {FIXTURE_RECT}")
+        FIXTURE_WARP.write_text(
+            json.dumps(_stats(*_run_golden_pass(rect=True, warp=True)),
+                       indent=1))
+        print(f"wrote {FIXTURE}, {FIXTURE_RECT} and {FIXTURE_WARP}")
