@@ -62,8 +62,11 @@ def _warp_kernel(const_ref, img_ref, out_ref, win, sem,
     # identical formula to rectify.rect_coords in f32
     y00 = 8.0 * ty.astype(jnp.float32) - PAD_Y
     x00 = 128.0 * tx.astype(jnp.float32) - PAD_X
-    ys = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0) + y00
-    xs = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1) + x00
+    # Mosaic's tpu.iota is integer-only; cast after (exact for these ranges)
+    ys = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32) + y00
+    xs = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32) + x00
 
     def coords(x, y):
         z = Hm[6] * x + Hm[7] * y + Hm[8]
