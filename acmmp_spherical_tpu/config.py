@@ -106,6 +106,11 @@ class PatchMatchParams:
     # 91 vs 349 ms per C=9 invocation at the bench point).  None = XLA
     # row-gather transport.
     rect_warp_hw: "tuple[int, int] | None" = None
+    # static live-tile budget of the SPHERE pole-rotated transport
+    # (ops/sphere_rect.sphere_live_tile_count, host-side per problem): only
+    # tiles inside the per-pair latitude caps (~87% of the frame at the
+    # default 78 deg cap) are gathered/computed.  None = identity compaction.
+    sphere_live_n: "int | None" = None
     # route the initial-field cost evaluation through the rectified kernel
     # too (instead of the exact path): safe whenever the problem's FULL
     # plausible disparity span fits the kernel's source window, so even a

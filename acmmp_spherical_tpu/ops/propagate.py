@@ -129,6 +129,7 @@ def prepare_inputs(inputs: "PatchMatchInputs",
                 inputs.src_cams, dr,
                 src_depths=(inputs.src_depths
                             if params.geom_consistency else None),
+                live_n=params.sphere_live_n,
             )
             inputs = inputs._replace(rect=rect)
     return inputs

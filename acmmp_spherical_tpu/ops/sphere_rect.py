@@ -373,6 +373,34 @@ def sphere_batched_ncc(
                            rect_sdisp=sdisp)
 
 
+def sphere_live_tile_count(ref_cam: Camera, *,
+                           lat_cap_deg: float = LAT_CAP_DEG,
+                           margin_tiles: int = 1) -> int:
+    """Host-side static live-tile budget for the pole-rotated frame.
+
+    Claimed pixels satisfy ``|rotated lat| <= lat_cap`` (bwd validity above),
+    i.e. their LANE (latitude) coordinate lies in the band
+    ``cy +- lat_cap/pi * H`` -- identical for every pair because the band is
+    centred on the rotated equator.  Budgeting the compacted maps to the
+    band's tiles (instead of ``live_n=None`` identity compaction) drops the
+    dead polar-cap tiles from every transport gather and kernel grid step
+    (~13% of the frame at the default 78 deg cap).  Same degrade-not-corrupt
+    contract as rectify.rect_live_tile_count: an overflow drops only the
+    emptiest boundary tiles.
+    """
+    H = int(np.asarray(ref_cam.height))
+    W = int(np.asarray(ref_cam.width))
+    cy = float(np.asarray(ref_cam.params[2]))
+    Ht = -(-H // 128) * 128
+    Wt = -(-W // 8) * 8
+    cap_h = math.radians(lat_cap_deg) / PI * H
+    lo = max(0, int(math.floor(cy - cap_h)) - 1)
+    hi = min(H - 1, int(math.ceil(cy + cap_h)) + 1)
+    n_lane_tiles = hi // 128 - lo // 128 + 1 + margin_tiles
+    n_lane_tiles = min(n_lane_tiles, Ht // 128)
+    return (Wt // 8) * n_lane_tiles
+
+
 def sphere_init_window(ref_cam: Camera, src_cams: Cameras, *,
                        lat_cap_deg: float = LAT_CAP_DEG,
                        min_scale: float = 1.0) -> int:

@@ -101,12 +101,13 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
         rect_live_tile_count, rect_shape, rect_warp_window,
     )
     from acmmp_spherical_tpu.ops.sphere_rect import (
-        sphere_init_window, sphere_rectifiable,
+        sphere_init_window, sphere_live_tile_count, sphere_rectifiable,
     )
 
     by_id = {p.ref_image_id: p for p in problems}
     comp = None
     live = None
+    live_s = None
     iwin_p = None
     iwin_s = None
     warp = None
@@ -151,6 +152,8 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
                                         min_scale=cfg.depth_min_scale)
                 iwin_s = iw if iwin_s is None else (
                     0 if 0 in (iwin_s, iw) else max(iwin_s, iw))
+                sl = sphere_live_tile_count(ref_cam)
+                live_s = sl if live_s is None else max(live_s, sl)
         except Exception:
             failed.add(problem.ref_image_id)
             log.exception("rect settings for image %08d failed; it will "
@@ -159,7 +162,7 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
     if comp is None and iwin_s is None:
         return None
     return (comp, live, iwin_p, iwin_s, frozenset(failed),
-            None if warp_none else warp)
+            None if warp_none else warp, live_s)
 
 
 def _pad_stack(arrays: Sequence[np.ndarray], shape=None) -> np.ndarray:
@@ -283,7 +286,7 @@ def load_problem(
         # has a usable baseline (ops/sphere_rect); the init eval rides the
         # kernel when the full span fits (sphere_init_window)
         from acmmp_spherical_tpu.ops.sphere_rect import (
-            sphere_init_window, sphere_rectifiable,
+            sphere_init_window, sphere_live_tile_count, sphere_rectifiable,
         )
 
         stacked = stack_cameras(src_cams[:n_src] if n_src else src_cams)
@@ -293,11 +296,14 @@ def load_problem(
                     and not (len(unify) > 4
                              and problem.ref_image_id in unify[4])):
                 iwin = unify[3]
+                live_s = (unify[6] if len(unify) > 6 and unify[6] is not None
+                          else sphere_live_tile_count(ref_cam))
             else:
                 iwin = sphere_init_window(ref_cam, stacked,
                                           min_scale=cfg.depth_min_scale)
+                live_s = sphere_live_tile_count(ref_cam)
             params = dataclasses.replace(
-                params, rect_ncc=True,
+                params, rect_ncc=True, sphere_live_n=live_s,
                 rect_init=iwin > 0, rect_init_win=iwin or 384)
     if geom:
         params = params.with_geom(multi_geometry)

@@ -259,14 +259,19 @@ def main() -> None:
         sstacked = stack_cameras(scams[1:])
         srect = fast and sphere_rectifiable(scams[0], sstacked)
         siwin = 0
+        slive = None
         if srect:
-            from acmmp_spherical_tpu.ops.sphere_rect import sphere_init_window
+            from acmmp_spherical_tpu.ops.sphere_rect import (
+                sphere_init_window, sphere_live_tile_count,
+            )
 
             siwin = sphere_init_window(scams[0], sstacked)
+            slive = sphere_live_tile_count(scams[0])
         sparams = dataclasses.replace(
             PatchMatchParams().with_depth_range(
                 *np.asarray(scams[0].depth_range)),
             rect_ncc=srect, rect_init=siwin > 0, rect_init_win=siwin or 384,
+            sphere_live_n=slive,
         )
         simages_d = jax.device_put(jnp.asarray(simages))
         sdmin, sdmax = np.asarray(scams[0].depth_range)
