@@ -134,6 +134,15 @@ class PatchMatchParams:
     # (quality-gated on the goldens incl. the discontinuity scene).
     rect_prescreen: bool = False
     prescreen_increment: int = 5
+    # bf16 pair-packing of the source window in the rect kernel's tap loop:
+    # both bilinear neighbours of a tap ride one f32 lane (pack_ab), so each
+    # tap pays ONE lane gather + ONE select per window chunk instead of two
+    # of each.  Quantises sampled image values to bf16 (<= 0.5 greylevel,
+    # <= 2^-9 relative) -- below sensor noise and the bicubic warp's
+    # resampling error; the reference samples f32 textures bilinearly
+    # (ACMMP.cu:425-495).  Static: both variants compile to separate
+    # programs; A/B measured on hardware (PERF.md round 5).
+    rect_tap_pack: bool = True
 
     # -- planar prior model (ACMMP.cu:818-824, 1249-1255) --------------------
     prior_gamma: float = 0.5

@@ -227,30 +227,49 @@ def _rect_kernel(srow_ref, toy_ref, tox_ref, ref_ref, src_ref, *rest,
 
         sent = jnp.full((TILE_H, TILE_W), SENTINEL, jnp.float32)
         sent_pk = jnp.full((TILE_H, TILE_W), SENT_PK_CONST, jnp.float32)
+        tap_pack = params.rect_tap_pack
 
         def src_sample(pk_rows, xfrac, rel):
             """Bilinear-in-x sample of an 8-row static slice; (value, ok).
 
-            ``pk_rows`` carries BOTH bilinear neighbours bf16-packed in one
-            f32 lane (``_pk_pair`` of the window and its lane-rolled (+1)
-            copy, built once per candidate), so each tap pays ONE lane
-            gather + ONE select per chunk instead of two of each -- the tap
-            loop is the kernel's dominant cost (PERF.md round 4).  bf16
-            quantises image values by <= 0.5 greylevel (<= 2^-9 relative),
-            far below sensor noise and the bicubic warp's resampling error;
-            quality-gated on the goldens incl. hostile.  Branchless chunk
-            combine -- a per-chunk lax.cond measured SLOWER than the work it
-            skips on v5e.
+            With ``params.rect_tap_pack`` (default), ``pk_rows`` carries
+            BOTH bilinear neighbours bf16-packed in one f32 lane (``pack_ab``
+            of the window and its lane-rolled (+1) copy, built once per
+            candidate), so each tap pays ONE lane gather + ONE select per
+            chunk instead of two of each -- the tap loop is the kernel's
+            dominant cost (PERF.md round 4).  bf16 quantises image values by
+            <= 0.5 greylevel (<= 2^-9 relative), far below sensor noise and
+            the bicubic warp's resampling error; quality-gated on the
+            goldens incl. hostile.  Without it, ``pk_rows`` is the
+            (window, rolled-window) f32 pair -- the exact-sampling A/B
+            variant.  Branchless chunk combine -- a per-chunk lax.cond
+            measured SLOWER than the work it skips on v5e.
             """
-            gp = sent_pk
-            for cidx in range(n_chunks):
-                i0 = jnp.clip(rel - cidx * TILE_W, 0, TILE_W - 1)
-                sel = (rel >= cidx * TILE_W) & (rel < (cidx + 1) * TILE_W)
-                vp = jnp.take_along_axis(
-                    pk_rows[:, cidx * TILE_W:(cidx + 1) * TILE_W], i0,
-                    axis=1, mode="promise_in_bounds")
-                gp = jnp.where(sel, vp, gp)
-            g0, g1 = _unpack_ab(gp)
+            if tap_pack:
+                gp = sent_pk
+                for cidx in range(n_chunks):
+                    i0 = jnp.clip(rel - cidx * TILE_W, 0, TILE_W - 1)
+                    sel = (rel >= cidx * TILE_W) & (rel < (cidx + 1) * TILE_W)
+                    vp = jnp.take_along_axis(
+                        pk_rows[:, cidx * TILE_W:(cidx + 1) * TILE_W], i0,
+                        axis=1, mode="promise_in_bounds")
+                    gp = jnp.where(sel, vp, gp)
+                g0, g1 = _unpack_ab(gp)
+            else:
+                w0, w1 = pk_rows
+                g0 = sent
+                g1 = sent
+                for cidx in range(n_chunks):
+                    i0 = jnp.clip(rel - cidx * TILE_W, 0, TILE_W - 1)
+                    sel = (rel >= cidx * TILE_W) & (rel < (cidx + 1) * TILE_W)
+                    v0 = jnp.take_along_axis(
+                        w0[:, cidx * TILE_W:(cidx + 1) * TILE_W], i0,
+                        axis=1, mode="promise_in_bounds")
+                    v1 = jnp.take_along_axis(
+                        w1[:, cidx * TILE_W:(cidx + 1) * TILE_W], i0,
+                        axis=1, mode="promise_in_bounds")
+                    g0 = jnp.where(sel, v0, g0)
+                    g1 = jnp.where(sel, v1, g1)
             ok = ((rel >= 0) & (rel <= SRC_WIN_W - 2)
                   & (g0 > SENTINEL_THRESH) & (g1 > SENTINEL_THRESH))
             return g0 + (g1 - g0) * xfrac, ok
@@ -280,18 +299,23 @@ def _rect_kernel(srow_ref, toy_ref, tox_ref, ref_ref, src_ref, *rest,
             # select per tap-chunk instead of two of each below
             win = srcwin[slot]
             win1 = pltpu.roll(win, SRC_WIN_W - 1, 1)  # lane i <- lane i+1
-            pkwin = pack_ab(win, win1)
+            if tap_pack:
+                pkwin = pack_ab(win, win1)
+                rows_at = lambda dy: pkwin[8 + dy:16 + dy, :]
+            else:
+                rows_at = lambda dy: (win[8 + dy:16 + dy, :],
+                                      win1[8 + dy:16 + dy, :])
 
             # centre validation (reference ACMMP.cu:418-433): the source
             # centre sample must exist and sit in front of both cameras
             rel_c, frac_c = tap_coords(0.0, 0.0)
-            _, ok_c = src_sample(pkwin[8:16, :], frac_c, rel_c)
+            _, ok_c = src_sample(rows_at(0), frac_c, rel_c)
             center_ok = ok_c & (D > 0.0) & valid
 
             s_bw = s_r = s_rr = s_s = s_ss = s_rs = zeros
             t = 0
             for dy in offs:
-                pk_rows = pkwin[8 + dy:16 + dy, :]
+                pk_rows = rows_at(dy)
                 for dx in offs:
                     rel, xfrac = tap_coords(float(dx), float(dy))
                     val, ok = src_sample(pk_rows, xfrac, rel)

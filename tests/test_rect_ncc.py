@@ -405,3 +405,31 @@ def test_rect_geom_pass_quality(setup):
         rel = np.abs(np.asarray(d) - depths[0]) / depths[0]
         med = np.median(rel[8:-8, 8:-8])
         assert med < 0.01, (rect_on, med)
+
+
+def test_tap_pack_off_matches_packed_costs(setup):
+    """The rect_tap_pack=False A/B variant (f32 window, two gathers/selects
+    per chunk) must agree with the default bf16 pair-packed tap sampling to
+    within the bf16 quantisation bound: packed taps carry <= 2^-9 relative
+    image-value error, and the NCC normalisation keeps the cost delta well
+    under 1e-2 everywhere (the variants share every other code path)."""
+    import dataclasses
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.35])
+    c_pack = np.asarray(rect_batched_ncc(rect, normals, ws, params,
+                                         interpret=True))
+    p_nopack = dataclasses.replace(params, rect_tap_pack=False)
+    c_raw = np.asarray(rect_batched_ncc(rect, normals, ws, p_nopack,
+                                        interpret=True))
+    both_valid = (c_pack < params.cost_max - 1e-6) \
+        & (c_raw < params.cost_max - 1e-6)
+    # validity flips only where a bf16-rounded tap crosses the sentinel /
+    # window-edge threshold -- must be rare
+    assert (both_valid.mean() > 0.75
+            and np.mean(c_pack < params.cost_max - 1e-6)
+            - np.mean(both_valid) < 0.005)
+    d = np.abs(c_pack - c_raw)[both_valid]
+    assert np.median(d) < 1e-3, np.median(d)
+    assert np.quantile(d, 0.99) < 2e-2, np.quantile(d, 0.99)
