@@ -40,6 +40,9 @@ def fence(f, *a, reps=3, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prescreen", action="store_true")
+    ap.add_argument("--no-tap-pack", action="store_true",
+                    help="rect_tap_pack=False: f32 window sampling (the A/B "
+                         "variant of the bf16 pair-pack; PERF.md round 5)")
     ap.add_argument("--size", type=int, nargs=2, default=[1024, 768])
     ap.add_argument("--views", type=int, default=8)
     args = ap.parse_args()
@@ -89,6 +92,7 @@ def main():
         rect_ncc=True, rect_comp_hw=comp_hw, rect_live_n=live_n,
         rect_init=iwin > 0, rect_init_win=iwin or 384,
         rect_prescreen=args.prescreen, rect_warp_hw=warp_hw,
+        rect_tap_pack=not args.no_tap_pack,
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(
