@@ -143,6 +143,16 @@ class PatchMatchParams:
     # (ACMMP.cu:425-495).  Static: both variants compile to separate
     # programs; A/B measured on hardware (PERF.md round 5).
     rect_tap_pack: bool = True
+    # bf16 pair-packing of the backmapped cost planes: candidate pairs ride
+    # one f32 lane through the per-pair wide-row backmap gather, halving its
+    # per-element cost (the v5e gather model is ~16-30 ns/row + ~2-3
+    # ns/element; PERF.md round 5 backmap probe: parity C=9 101 ms vs C=5
+    # 73 ms).  Costs quantise to bf16 (<= 2^-8 relative, i.e. <= 0.008 at
+    # cost_max=2) entering view selection / candidate argmin -- ties within
+    # that width were already RNG-order-arbitrary; gated on the goldens
+    # incl. discontinuity + hostile.  The reference keeps f32 costs
+    # end-to-end (ACMMP.cu:1146-1228).
+    rect_backmap_pack: bool = True
 
     # -- planar prior model (ACMMP.cu:818-824, 1249-1255) --------------------
     prior_gamma: float = 0.5

@@ -674,10 +674,29 @@ def run_rect_kernel(srow, rect_ref, rect_src, D, AB, maps, tile_oy, tile_ox,
     )(*operands)
 
     # ---- map the cost planes back to the evaluation grid ------------------
+    # With params.rect_backmap_pack, candidate PAIRS ride one f32 lane
+    # (bf16, bf16) through the gather: the v5e gather cost is per row AND
+    # per element (PERF.md), so halving the element width saves ~30 ms per
+    # C=9 parity invocation at the bench point (scripts/probe_backmap.py).
+    # bf16 cost quantisation (<= 2^-8 relative) is config-documented and
+    # quality-gated; invalid pixels get the exact f32 fill either way.
     def backmap(plane, fill):
-        back = plane.reshape(C, S, K8 * TILE_W).transpose(1, 2, 0)
-        picked = jax.vmap(lambda t, idx: t[idx])(back, maps.bwd_cidx)
-        out = picked.transpose(2, 0, 1).reshape(C, S, H, W)
+        if params.rect_backmap_pack and C > 1:
+            Cp = (C + 1) // 2
+            a = plane[0::2]                       # (Cp, S, K8, TILE_W)
+            b = plane[1::2]
+            if C % 2:
+                b = jnp.concatenate([b, jnp.zeros_like(a[:1])], 0)
+            packed = pack_ab(a, b)
+            back = packed.reshape(Cp, S, K8 * TILE_W).transpose(1, 2, 0)
+            picked = jax.vmap(lambda t, idx: t[idx])(back, maps.bwd_cidx)
+            pa, pb = _unpack_ab(picked)           # (S, M, Cp) each
+            inter = jnp.stack([pa, pb], axis=-1).reshape(S, -1, 2 * Cp)
+            out = inter[..., :C].transpose(2, 0, 1).reshape(C, S, H, W)
+        else:
+            back = plane.reshape(C, S, K8 * TILE_W).transpose(1, 2, 0)
+            picked = jax.vmap(lambda t, idx: t[idx])(back, maps.bwd_cidx)
+            out = picked.transpose(2, 0, 1).reshape(C, S, H, W)
         return jnp.where(maps.bwd_valid.reshape(1, S, H, W), out, fill)
 
     if with_geom:

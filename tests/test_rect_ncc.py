@@ -433,3 +433,30 @@ def test_tap_pack_off_matches_packed_costs(setup):
     d = np.abs(c_pack - c_raw)[both_valid]
     assert np.median(d) < 1e-3, np.median(d)
     assert np.quantile(d, 0.99) < 2e-2, np.quantile(d, 0.99)
+
+
+def test_backmap_pack_off_matches_packed_costs(setup):
+    """rect_backmap_pack=True returns costs equal to the f32 backmap within
+    the bf16 quantisation width (<= 2^-8 relative, absolute <= 0.008 at
+    cost_max): same gather, same attribution, only the transported lanes are
+    pair-packed."""
+    import dataclasses
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    normals = jnp.stack([n_cam, n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.15, w * 1.35])
+    p_pack = dataclasses.replace(params, rect_backmap_pack=True)
+    p_raw = dataclasses.replace(params, rect_backmap_pack=False)
+    c_pack = np.asarray(rect_batched_ncc(rect, normals, ws, p_pack,
+                                         interpret=True))
+    c_raw = np.asarray(rect_batched_ncc(rect, normals, ws, p_raw,
+                                        interpret=True))
+    # invalid pixels carry the exact f32 fill in both variants
+    fillmask = c_raw >= params.cost_max - 1e-6
+    assert np.array_equal(fillmask, c_pack >= np.float32(
+        np.asarray(jnp.float32(params.cost_max)).astype(np.float32)) - 8e-3)
+    d = np.abs(c_pack - c_raw)
+    assert d.max() <= 8e-3 + 1e-6, d.max()
+    # relative error of valid costs is the bf16 width
+    v = ~fillmask & (c_raw > 1e-3)
+    assert np.median((d[v] / c_raw[v])) < 2 ** -8, np.median(d[v] / c_raw[v])
