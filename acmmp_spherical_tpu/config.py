@@ -153,6 +153,17 @@ class PatchMatchParams:
     # incl. discontinuity + hostile.  The reference keeps f32 costs
     # end-to-end (ACMMP.cu:1146-1228).
     rect_backmap_pack: bool = True
+    # scatter-free transport-map attribution: build the fwd maps by
+    # inverse-checking the 3x3 neighbourhood of H0^-1(c) per compute-grid
+    # pixel (exact f32 forward re-verification) instead of the three
+    # per-pass H*W-row scatter sweeps (an XLA scatter row costs ~14x a
+    # gather row on v5e; PERF.md).  Static; set from the host gate
+    # rectify.rect_inv_attrib_ok (requires the rect->orig local Lipschitz
+    # bound < 2 so the 3x3 candidate set provably contains every claimant).
+    # Collision winners become largest-flat-index-of-the-parity instead of
+    # the scatter's backend-unspecified last-writer -- both deterministic
+    # serializations of the reference's racy write order (SURVEY.md 5.2).
+    rect_inv_attrib: bool = False
 
     # -- planar prior model (ACMMP.cu:818-824, 1249-1255) --------------------
     prior_gamma: float = 0.5

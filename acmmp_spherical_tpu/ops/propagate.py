@@ -116,6 +116,7 @@ def prepare_inputs(inputs: "PatchMatchInputs",
                             if params.geom_consistency else None),
                 live_n=params.rect_live_n,
                 warp_hw=params.rect_warp_hw,
+                inv_attrib=params.rect_inv_attrib,
             )
             inputs = inputs._replace(rect=rect)
         elif (inputs.ref_cam.model == SPHERE

@@ -347,6 +347,90 @@ def warp_windows(warp_hw: tuple[int, int]):
     return (WR, WC), (WR, WCp)
 
 
+def rect_inv_attrib_ok(ref_cam: Camera, src_cams: Cameras,
+                       rect_hw: tuple[int, int], *,
+                       max_lip: float = 2.0) -> bool:
+    """Host gate for the scatter-free inverse transport attribution.
+
+    The fwd transport maps can be built WITHOUT the per-pass H*W scatters
+    (an XLA scatter row costs ~14x a gather row, and the three scatter
+    sweeps are most of the ~400 ms context build at the bench point): for
+    each compute-grid pixel c, invert the homography to ~o = H0^-1(c) and
+    verify, with the EXACT f32 forward computation the backward map uses,
+    which of the 3x3 integer neighbourhood of round(~o) rounds onto c.
+    That neighbourhood provably contains every claimant iff the local
+    Lipschitz constant of H0^-1 satisfies L * 0.5*sqrt(2) < 1.5, i.e.
+    L < ~2.1; this mirror bounds L by the inf-norm row sums of the
+    finite-difference Jacobian at the warped-footprint corners (same f64
+    math as rect_warp_window) with margin.  Returns False -> the caller
+    keeps the scatter path.
+    """
+    hr, wr = rect_hw
+    margin = 2.0
+    R0 = np.asarray(ref_cam.R, np.float64)
+    t0 = np.asarray(ref_cam.t, np.float64)
+    K0 = np.asarray(ref_cam.K, np.float64)
+    C0 = -R0.T @ t0
+    Rs = np.asarray(src_cams.R, np.float64)
+    ts = np.asarray(src_cams.t, np.float64)
+    Ks = np.asarray(src_cams.K, np.float64)
+    whs = np.asarray(src_cams.wh, np.float64)
+    f0 = K0[0, 0]
+    W0 = float(np.asarray(ref_cam.width))
+    H0_ = float(np.asarray(ref_cam.height))
+
+    def corner_uv(R_cr, K, W_, H_):
+        corners = np.array([[0.0, 0.0, 1.0], [W_ - 1.0, 0.0, 1.0],
+                            [0.0, H_ - 1.0, 1.0], [W_ - 1.0, H_ - 1.0, 1.0]])
+        q = corners @ (R_cr @ np.linalg.inv(K)).T
+        if np.any(q[:, 2] <= 1e-6):
+            return None
+        return q[:, 0] / q[:, 2], q[:, 1] / q[:, 2]
+
+    for s in range(Rs.shape[0]):
+        C1 = -Rs[s].T @ ts[s]
+        b = C1 - C0
+        bn = np.linalg.norm(b)
+        if bn < 1e-9:
+            return False
+        e1 = b / bn
+        e2 = np.cross(R0[2], e1)
+        n2 = np.linalg.norm(e2)
+        if n2 < 1e-3:
+            return False
+        e2 = e2 / n2
+        R_rect = np.stack([e1, e2, np.cross(e1, e2)])
+        R_rr = R_rect @ R0.T
+        uv0 = corner_uv(R_rr, K0, W0, H0_)
+        uv1 = corner_uv(R_rect @ Rs[s].T, Ks[s], whs[s, 0], whs[s, 1])
+        if uv0 is None or uv1 is None:
+            return False
+        u = np.concatenate([uv0[0], uv1[0]])
+        v = np.concatenate([uv0[1], uv1[1]])
+        du = max(u.max() - u.min(), 1e-12)
+        dv = max(v.max() - v.min(), 1e-12)
+        f = min(f0, (wr - 1.0 - 2 * margin) / du, (hr - 1.0 - 2 * margin) / dv)
+        if not np.isfinite(f):
+            return False
+        cx = margin - f * u.min()
+        cy = margin - f * v.min()
+        Km = np.array([[f, 0.0, cx], [0.0, f, cy], [0.0, 0.0, 1.0]])
+        H0inv = K0 @ R_rr.T @ np.linalg.inv(Km)
+
+        def orig(px, py):
+            q = H0inv @ np.array([px, py, 1.0])
+            return q[:2] / q[2]
+
+        for qx, qy in zip(f * uv0[0] + cx, f * uv0[1] + cy):
+            o0 = orig(qx, qy)
+            jx = orig(qx + 1.0, qy) - o0
+            jy = orig(qx, qy + 1.0) - o0
+            lip = max(abs(jx[0]) + abs(jy[0]), abs(jx[1]) + abs(jy[1]))
+            if lip > max_lip:
+                return False
+    return True
+
+
 def rect_span_fits(ref_cam: Camera, src_cams: Cameras,
                    rect_hw: tuple[int, int], *, usable: int = 240,
                    min_scale: float = 1.0, max_scale: float = 1.0) -> bool:
@@ -678,6 +762,7 @@ def build_transport_maps(
     live_n: "int | None" = None,
     parity_maps: bool = True,
     warp_hw: "tuple[int, int] | None" = None,
+    attrib: "tuple[jax.Array, jax.Array] | None" = None,
 ):
     """Compacted transport maps (full + per-parity) from the backward map.
 
@@ -691,6 +776,15 @@ def build_transport_maps(
     by live-pixel count, so an overflow beyond N (improbable under the
     mirror's margin) drops only the emptiest boundary tiles -- their pixels
     read back as invalid (cost_max) rather than corrupting neighbours.
+
+    ``attrib``: optional per-parity content-grid claimant attribution
+    (two (S, hb, wb) int32 arrays of original-flat-index + 1, 0 = no
+    claimant; built scatter-free in build_rect_context when the host gate
+    rect_inv_attrib_ok holds).  When given, the fwd maps come from cheap
+    tile-granular gathers of these grids instead of the three per-pass
+    H*W-row scatter sweeps; tile ordering uses unique-live-PIXEL counts
+    (the documented metric) rather than claim counts -- both order the
+    budget drop-off by emptiness.
     """
     from acmmp_spherical_tpu.ops.sampling import checkerboard_pack
 
@@ -708,9 +802,14 @@ def build_transport_maps(
         slot = jnp.where(okf, tile_of, 0)
         okc = okf
     else:
-        tgt = jnp.where(okf, tile_of, T)
-        counts = jax.vmap(
-            lambda t: jnp.zeros(T + 1, jnp.int32).at[t].add(1))(tgt)[:, :T]
+        if attrib is not None:
+            live_px = (attrib[0] > 0) | (attrib[1] > 0)
+            counts = live_px.reshape(S, ty, 8, tx, 128).sum(
+                axis=(2, 4), dtype=jnp.int32).reshape(S, T)
+        else:
+            tgt = jnp.where(okf, tile_of, T)
+            counts = jax.vmap(
+                lambda t: jnp.zeros(T + 1, jnp.int32).at[t].add(1))(tgt)[:, :T]
         tile_idx = jnp.argsort(-counts, axis=1).astype(jnp.int32)[:, :N]
         tile_slot = jax.vmap(
             lambda o: jnp.full((T,), -1, jnp.int32).at[o].set(
@@ -751,6 +850,14 @@ def build_transport_maps(
     if warp_hw is not None:
         win_full, win_par = warp_windows(warp_hw)
 
+    def tile_gather(arr):
+        """Content grid (S, hb, wb) -> compact flat (S, N*1024): a
+        tile-granular gather (rows = N live tiles, not pixels)."""
+        t = arr.reshape(S, ty, 8, tx, 128).transpose(0, 1, 3, 2, 4)
+        t = t.reshape(S, T, 8 * 128)
+        sel = jax.vmap(lambda a, i: a[i])(t, tile_idx)
+        return sel.reshape(S, N * 1024)
+
     if parity_maps and H % 2 == 0 and W % 2 == 0:
         # per-parity rescatter: each checkerboard colour scatters its OWN
         # pixels, so a cross-colour collision (two original pixels of
@@ -762,17 +869,29 @@ def build_transport_maps(
         # per parity (value = packed half-grid idx + 1); the full map is
         # then derived from the two parity scatters with ZERO extra
         # scatters, so the total per-pass scatter count is unchanged.
-        yy = oflat // W
-        xx = oflat - yy * W
-        par = (yy + xx) % 2
-        pidx1 = yy * (W // 2) + xx // 2 + 1     # packed idx + 1 (0 = empty)
+        # With ``attrib`` the scatters disappear entirely: each colour's
+        # content-grid attribution is tile-gathered into the compact layout
+        # and converted to the packed half-grid index in place.
+        if attrib is not None:
+            def to_packed(q1):
+                q = jnp.maximum(q1 - 1, 0)
+                fy = q // W
+                fx = q - fy * W
+                return jnp.where(q1 > 0, fy * (W // 2) + fx // 2 + 1, 0)
 
-        def fwd_parity(cidx, ok, p):
-            t = jnp.where(ok & (par == p), cidx, N * 1024)
-            return jnp.zeros(N * 1024 + 1, jnp.int32).at[t].set(pidx1)[:-1]
+            pm = [to_packed(tile_gather(attrib[p])) for p in (0, 1)]
+        else:
+            yy = oflat // W
+            xx = oflat - yy * W
+            par = (yy + xx) % 2
+            pidx1 = yy * (W // 2) + xx // 2 + 1  # packed idx + 1 (0 = empty)
 
-        pm = [jax.vmap(lambda c, o: fwd_parity(c, o, p))(bwd_cidx, okc)
-              for p in (0, 1)]
+            def fwd_parity(cidx, ok, p):
+                t = jnp.where(ok & (par == p), cidx, N * 1024)
+                return jnp.zeros(N * 1024 + 1, jnp.int32).at[t].set(pidx1)[:-1]
+
+            pm = [jax.vmap(lambda c, o: fwd_parity(c, o, p))(bwd_cidx, okc)
+                  for p in (0, 1)]
 
         def unpack_orig(packed1, p):
             # packed half-grid idx -> original flat idx (row-preserving pack:
@@ -810,13 +929,19 @@ def build_transport_maps(
                     okc.reshape(S, H, W), p),
                 warp_rel=wrel, warp_oy=woy, warp_ox=wox, warp_nry=wnry))
     else:
-        def fwd(cidx, ok):
-            t = jnp.where(ok, cidx, N * 1024)
-            fidx = jnp.zeros(N * 1024 + 1, jnp.int32).at[t].set(oflat)[:-1]
-            fval = jnp.zeros(N * 1024 + 1, jnp.float32).at[t].set(1.0)[:-1]
-            return fidx, fval
+        if attrib is not None:
+            afull = jnp.where(attrib[1] > 0, attrib[1], attrib[0])
+            fc = tile_gather(afull)
+            fwd_idx = jnp.maximum(fc - 1, 0)
+            fwd_val = (fc > 0).astype(jnp.float32)
+        else:
+            def fwd(cidx, ok):
+                t = jnp.where(ok, cidx, N * 1024)
+                fidx = jnp.zeros(N * 1024 + 1, jnp.int32).at[t].set(oflat)[:-1]
+                fval = jnp.zeros(N * 1024 + 1, jnp.float32).at[t].set(1.0)[:-1]
+                return fidx, fval
 
-        fwd_idx, fwd_val = jax.vmap(fwd)(bwd_cidx, okc)
+            fwd_idx, fwd_val = jax.vmap(fwd)(bwd_cidx, okc)
         fwd_val = fwd_val.reshape(S, N * 8, 128)
         wrel, woy, wox, wnry, fwd_val = warp_tables(fwd_idx, fwd_val, W,
                                                     win_full)
@@ -879,6 +1004,9 @@ def build_rect_context(
     warp_hw: "tuple[int, int] | None" = None,  # static warp-gather window
                                           # (rect_warp_window); None = the
                                           # transport stays an XLA row-gather
+    inv_attrib: bool = False,             # static: scatter-free fwd maps via
+                                          # inverse-check attribution (host
+                                          # gate rect_inv_attrib_ok)
 ) -> RectContext:
     """Build the per-pass rectified working set (all XLA; one per pass)."""
     from acmmp_spherical_tpu.ops.sampling import grid_coords, pack_bicubic
@@ -945,9 +1073,49 @@ def build_rect_context(
         return xbi.reshape(-1), ybi.reshape(-1), ok
 
     bwd_x, bwd_y, bwd_ok = jax.vmap(bwd)(pr.H0, off_y, off_x)
+
+    attrib = None
+    if inv_attrib:
+        # scatter-free fwd attribution (host-gated by rect_inv_attrib_ok):
+        # for each compute-grid pixel, invert the homography and verify --
+        # with the EXACT f32 forward computation bwd() uses -- which of the
+        # 3x3 neighbourhood of round(H0^-1(c)) rounds onto it.  Winner on a
+        # collision: the largest original flat index of that parity (the
+        # scatter path's last-writer order is backend-unspecified; both are
+        # valid serializations of the reference's racy write order,
+        # SURVEY.md 5.2).  Pure VPU math -- replaces the three per-pass
+        # H*W-row scatter sweeps.
+        def attrib_pair(H0, H0inv, oy, ox):
+            ybc = jax.lax.broadcasted_iota(jnp.float32, (hb, wb), 0)
+            xbc = jax.lax.broadcasted_iota(jnp.float32, (hb, wb), 1)
+            xo_f, yo_f, _ = rect_coords(H0inv, xbc + ox, ybc + oy)
+            xo0 = jnp.round(xo_f).astype(jnp.int32)
+            yo0 = jnp.round(yo_f).astype(jnp.int32)
+            win = [jnp.zeros((hb, wb), jnp.int32) for _ in range(2)]
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    xo = xo0 + dx
+                    yo = yo0 + dy
+                    inb = (xo >= 0) & (xo < W) & (yo >= 0) & (yo < H)
+                    xr, yr, z = rect_coords(H0, xo.astype(jnp.float32),
+                                            yo.astype(jnp.float32))
+                    claim = (inb & (z > 0)
+                             & (jnp.round(xr) - ox == xbc)
+                             & (jnp.round(yr) - oy == ybc))
+                    oflat1 = yo * W + xo + 1
+                    par = (yo + xo) % 2
+                    for p in (0, 1):
+                        cand = jnp.where(claim & (par == p), oflat1, 0)
+                        win[p] = jnp.maximum(win[p], cand)
+            return win[0], win[1]
+
+        a0, a1 = jax.vmap(attrib_pair)(pr.H0, pr.H0inv, off_y, off_x)
+        attrib = (a0, a1)
+
     maps, tile_oy, tile_ox = build_transport_maps(
         bwd_x, bwd_y, bwd_ok, (hb, wb), (H, W), off_y, off_x,
-        live_n=live_n, parity_maps=parity_maps, warp_hw=warp_hw)
+        live_n=live_n, parity_maps=parity_maps, warp_hw=warp_hw,
+        attrib=attrib)
 
     dmin, dmax = depth_range[0], depth_range[1]
     fB = pr.K[:, 0] * pr.baseline

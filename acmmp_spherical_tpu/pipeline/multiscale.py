@@ -63,7 +63,18 @@ def joint_bilateral_upsampling_pass(
     RunJBU, ACMMP.cpp:1071-1122)."""
     import cv2
 
-    depth = dmb.read_depth_dmb(sp.depth_file(problem.ref_image_id, geom=True))
+    dpath = sp.depth_file(problem.ref_image_id, geom=True)
+    try:
+        depth = dmb.read_depth_dmb(dpath)
+    except Exception:
+        # the previous pass for this view was skipped after repeated device
+        # failures (retry-then-skip, SURVEY.md 5.3); JBU must tolerate the
+        # missing input the same way fusion does -- the next scale's pass
+        # falls back to fresh random init for this view (round-5 envelope
+        # run: an unhandled read here killed the whole pipeline)
+        log.warning("JBU skip (missing/unreadable %s) image=%08d", dpath,
+                    problem.ref_image_id)
+        return
     img = load_image_gray(sp.image_file(problem.ref_image_id))
     h, w = img.shape
     factor = min(target_size / w, target_size / h)
@@ -238,7 +249,22 @@ def run_pipeline(root, cfg: PipelineConfig = PipelineConfig(),
                         )
                     mark_pass_complete(sp, pass_name, pid)
                     return
-                except Exception:
+                except Exception as e:
+                    # a dead device CLIENT is not a per-problem transient:
+                    # after a TPU worker crash every subsequent dispatch in
+                    # this process fails instantly, so retry-then-skip would
+                    # silently "skip" the entire remaining scene (round-5
+                    # envelope run: 15 passes skipped in 400 ms).  Abort
+                    # with the original error; the manifest --resume path
+                    # continues the run from a fresh process.
+                    msg = str(e)
+                    if ("UNAVAILABLE" in msg
+                            or "crashed or restarted" in msg):
+                        log.error("pass %s image=%08d: device client dead "
+                                  "(%s); aborting pipeline -- rerun with "
+                                  "--resume to continue", pass_name, pid,
+                                  msg.splitlines()[0][:200])
+                        raise
                     if attempt == 0:
                         log.exception("pass %s image=%08d failed; retrying",
                                       pass_name, pid)

@@ -460,3 +460,68 @@ def test_backmap_pack_off_matches_packed_costs(setup):
     # relative error of valid costs is the bf16 width
     v = ~fillmask & (c_raw > 1e-3)
     assert np.median((d[v] / c_raw[v])) < 2 ** -8, np.median(d[v] / c_raw[v])
+
+
+def test_inv_attrib_matches_scatter_maps(setup):
+    """The scatter-free inverse-check attribution (rect_inv_attrib) produces
+    semantically identical transport to the scatter build: the same claimant
+    existence everywhere, and identical mapped-back costs except where a
+    genuine same-parity collision lets the two deterministic winner rules
+    (largest-flat-index vs scatter write order) pick different claimants."""
+    import dataclasses
+
+    from acmmp_spherical_tpu.ops.rectify import (
+        rect_comp_shape, rect_inv_attrib_ok, rect_live_tile_count,
+        rect_warp_window,
+    )
+
+    images, depths, ref_cam, src_cams, params, n_cam, w, rect, (H, W) = setup
+    rhw = rect_shape(H, W)
+    assert rect_inv_attrib_ok(ref_cam, src_cams, rhw)
+    comp_hw = rect_comp_shape(ref_cam, src_cams, rhw)
+    live_n = rect_live_tile_count(ref_cam, src_cams, rhw, comp_hw)
+    warp_hw = rect_warp_window(ref_cam, src_cams, rhw)
+    dmin, dmax = ref_cam.depth_range[0], ref_cam.depth_range[1]
+
+    ctxs = {}
+    for inv in (False, True):
+        ctxs[inv] = build_rect_context(
+            images[0], images[1:], ref_cam, src_cams, (dmin, dmax),
+            comp_hw=comp_hw, live_n=live_n, warp_hw=warp_hw, inv_attrib=inv)
+
+    # claimant existence is winner-independent: scatter each map's
+    # fwd_valid back onto the content grid and require exact equality
+    hb, wb = comp_hw
+    for mi in range(3):
+        ms, mv = ctxs[False].maps[mi], ctxs[True].maps[mi]
+        for ctx_i, m in ((False, ms), (True, mv)):
+            grid = np.zeros((ms.fwd_valid.shape[0], hb, wb), np.float32)
+            toy = np.asarray(ctxs[ctx_i].tile_oy)
+            tox = np.asarray(ctxs[ctx_i].tile_ox)
+            fv = np.asarray(m.fwd_valid).reshape(grid.shape[0], -1, 8, 128)
+            # content origins: tile_oy/ox are storage-frame; subtract the
+            # per-pair bbox offset carried in srow[2:4]
+            off_y = np.asarray(ctxs[ctx_i].srow[:, 2])
+            off_x = np.asarray(ctxs[ctx_i].srow[:, 3])
+            for s in range(grid.shape[0]):
+                for k in range(fv.shape[1]):
+                    y0 = int(toy[s, k] - off_y[s])
+                    x0 = int(tox[s, k] - off_x[s])
+                    if 0 <= y0 <= hb - 8 and 0 <= x0 <= wb - 128:
+                        grid[s, y0:y0 + 8, x0:x0 + 128] = np.maximum(
+                            grid[s, y0:y0 + 8, x0:x0 + 128], fv[s, k])
+            if ctx_i is False:
+                ref_grid = grid
+            else:
+                np.testing.assert_array_equal(grid, ref_grid,
+                                              err_msg=f"map {mi}")
+
+    # mapped-back costs agree except at collision-winner flips (rare)
+    normals = jnp.stack([n_cam, n_cam])
+    ws = jnp.stack([w, w * 1.35])
+    c_sc = np.asarray(rect_batched_ncc(ctxs[False], normals, ws, params,
+                                       interpret=True))
+    c_iv = np.asarray(rect_batched_ncc(ctxs[True], normals, ws, params,
+                                       interpret=True))
+    differ = np.abs(c_sc - c_iv) > 1e-5
+    assert differ.mean() < 0.005, differ.mean()
