@@ -265,6 +265,16 @@ class PipelineConfig:
                                      # "on", "off".  Replaces the reference's
                                      # strictly serial per-image loop
                                      # (main.cpp:431-446)
+    split_iterations: str = "auto"   # run each pass stage (init, every
+                                     # half-step, extraction) as its OWN
+                                     # compiled program: "auto" = on for TPU
+                                     # serial passes, "on", "off".  Costs ~4%
+                                     # (no cross-stage fusion) and buys
+                                     # immunity to the v5e fused-program
+                                     # worker crashes at some shape classes
+                                     # (round-3 scan fault; round-5 seeded
+                                     # 800x600 fault -- PERF.md round 5,
+                                     # scripts/repro_e2e_fault.py)
 
 
 DEFAULT_CONFIG = PipelineConfig()

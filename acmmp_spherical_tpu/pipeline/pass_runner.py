@@ -28,7 +28,9 @@ from acmmp_spherical_tpu.io.scene import (
 )
 from acmmp_spherical_tpu.ops.jbu import joint_bilateral_upsample
 from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
-from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
+from acmmp_spherical_tpu.pipeline.patchmatch import (
+    run_patchmatch, run_patchmatch_split,
+)
 from acmmp_spherical_tpu.pipeline.prior import build_planar_prior, draw_triangulation
 from acmmp_spherical_tpu.utils.log import get_logger
 
@@ -431,10 +433,18 @@ def process_problem(
     log.info("pass image=%08d size=%dx%d geom=%s prior=%s hier=%s multi=%s",
              image_id, lp.width, lp.height, geom, planar_prior, hierarchy,
              multi_geometry)
-    depth, normal_world, cost, state = run_patchmatch(
+    # split-program execution on TPU: large fused pass programs crash the
+    # v5e worker at some shape classes (round-5 envelope: every SEEDED pass
+    # variant at 800x600; the same stages dispatched separately are clean).
+    # ~4% slower (no cross-stage fusion); tile-shard keeps the fused path
+    # (its sharding hook lives inside the one program).
+    split = tile_mesh is None and (cfg.split_iterations == "on" or (
+        cfg.split_iterations == "auto" and jax.default_backend() == "tpu"))
+    run_pass = run_patchmatch_split if split else run_patchmatch
+    kw = {} if split else {"shard_state": shard_state}
+    depth, normal_world, cost, state = run_pass(
         lp.inputs, params, key,
-        seed_normal_world=seed_normal, seed_depth=seed_depth,
-        shard_state=shard_state,
+        seed_normal_world=seed_normal, seed_depth=seed_depth, **kw,
     )
 
     if planar_prior:
@@ -462,9 +472,8 @@ def process_problem(
                     prior_inputs, NamedSharding(tile_mesh, P()))
             pparams = params.with_planar_prior()
             key2 = jax.random.fold_in(key, 1)
-            depth, normal_world, cost, state = run_patchmatch(
-                prior_inputs, pparams, key2, prev_state=state,
-                shard_state=shard_state,
+            depth, normal_world, cost, state = run_pass(
+                prior_inputs, pparams, key2, prev_state=state, **kw,
             )
 
     dmb.write_dmb(sp.depth_file(image_id, geom=geom), np.asarray(depth))

@@ -29,6 +29,15 @@ TRIALS = {
     "t6_win384":  dict(iwin=384),
     "t8_bmoff":   dict(bm=False),
     "t9_tapoff":  dict(tap=False),
+    "p1_prior":        dict(prior=True),
+    "p2_prior_nowarp": dict(prior=True, warp=None),
+    "p3_prior_noinit": dict(prior=True, iwin=0),
+    "p4_prior_win384": dict(prior=True, iwin=384),
+    "p5_prior_tapoff": dict(prior=True, tap=False),
+    "p6_prior_bmoff":  dict(prior=True, bm=False),
+    "i1_prior_1it":    dict(prior=True, iters=1),
+    "i2_prior_2it":    dict(prior=True, iters=2),
+    "g1_geom":         dict(geom=True),
 }
 
 INNER = r"""
@@ -59,9 +68,11 @@ if "live" in ov: unify[1] = ov["live"]
 pm = cfg.patchmatch
 if "tap" in ov: pm = dc.replace(pm, rect_tap_pack=ov["tap"])
 if "bm" in ov: pm = dc.replace(pm, rect_backmap_pack=ov["bm"])
+if "iters" in ov: pm = dc.replace(pm, max_iterations=ov["iters"])
 cfg = dc.replace(cfg, rect_unify=tuple(unify), patchmatch=pm)
 print("unify:", cfg.rect_unify, file=sys.stderr, flush=True)
-process_problem(sp, problems, 0, cfg, geom=False, planar_prior=False,
+process_problem(sp, problems, 0, cfg, geom=ov.get("geom", False),
+                planar_prior=ov.get("prior", False),
                 hierarchy=False, multi_geometry=False)
 print("OK", flush=True)
 """

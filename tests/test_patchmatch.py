@@ -160,3 +160,40 @@ def test_odd_size_fallback_path():
     depth, *_ = run_patchmatch(inputs, params, jax.random.key(0))
     rel = np.abs(np.asarray(depth)[6:-6, 6:-6] - depths[0][6:-6, 6:-6]) / depths[0][6:-6, 6:-6]
     assert np.median(rel) < 0.05
+
+
+def test_split_execution_matches_fused():
+    """run_patchmatch_split (per-stage programs, the TPU pipeline's
+    reliability mode) matches fused run_patchmatch: same traced stages, same
+    key schedule -- on CPU the only difference is scan-vs-unroll, proven
+    bit-identical in round 3."""
+    import numpy as np
+
+    from acmmp_spherical_tpu.config import PatchMatchParams
+    from acmmp_spherical_tpu.core.camera import stack_cameras
+    from acmmp_spherical_tpu.ops.propagate import PatchMatchInputs
+    from acmmp_spherical_tpu.pipeline.patchmatch import (
+        run_patchmatch, run_patchmatch_split,
+    )
+    from acmmp_spherical_tpu.utils.synthetic import (
+        CubeRoom, make_ring_of_cameras, render_scene,
+    )
+
+    W, H, n = 64, 48, 3
+    cams = make_ring_of_cameras(1 + n, width=W, height=H, focal=0.9 * W)
+    images, _, _ = render_scene(cams, CubeRoom(), W, H)
+    images = jnp.asarray(images)
+    dmin, dmax = np.asarray(cams[0].depth_range)
+    params = PatchMatchParams().with_depth_range(dmin, dmax)
+    inputs = PatchMatchInputs(
+        ref_image=images[0], src_images=images[1:], ref_cam=cams[0],
+        src_cams=stack_cameras(cams[1:]), src_valid=jnp.ones(n, bool),
+        depth_range=jnp.asarray([dmin, dmax], jnp.float32),
+    )
+    key = jax.random.key(7)
+    d_f, n_f, c_f, _ = run_patchmatch(inputs, params, key)
+    d_s, n_s, c_s, _ = run_patchmatch_split(inputs, params, key)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_f),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_f),
+                               rtol=1e-5, atol=1e-5)
