@@ -128,7 +128,10 @@ def _make_chunk(g, n_dev) -> _Chunk:
             params, rect_comp_hw=hw, rect_live_n=ln,
             rect_init=all(p.rect_init for p in plist),
             rect_init_win=max(p.rect_init_win for p in plist),
-            rect_warp_hw=wh)
+            rect_warp_hw=wh,
+            # scatter-free attribution needs the host Lipschitz gate to hold
+            # for EVERY problem sharing the compiled chunk program
+            rect_inv_attrib=all(p.rect_inv_attrib for p in plist))
     return _Chunk(indices=list(idxs), lps=lps, params=params)
 
 

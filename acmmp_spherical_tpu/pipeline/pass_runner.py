@@ -100,7 +100,8 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
     """
     from acmmp_spherical_tpu.ops.rectify import (
         host_rectifiable, rect_comp_shape, rect_init_window,
-        rect_live_tile_count, rect_shape, rect_warp_window,
+        rect_inv_attrib_ok, rect_live_tile_count, rect_shape,
+        rect_warp_window,
     )
     from acmmp_spherical_tpu.ops.sphere_rect import (
         sphere_init_window, sphere_live_tile_count, sphere_rectifiable,
@@ -114,6 +115,8 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
     iwin_s = None
     warp = None
     warp_none = False   # any problem with no usable warp window disables it
+    inv_ok = True       # scatter-free attribution: scene-wide AND of the
+                        # Lipschitz host gate (one compiled program per pass)
     failed = set()
     for problem in problems:
         try:
@@ -147,6 +150,7 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
                 elif not warp_none:
                     warp = (whw if warp is None else
                             (max(warp[0], whw[0]), max(warp[1], whw[1])))
+                inv_ok = inv_ok and rect_inv_attrib_ok(ref_cam, stacked, rhw)
             elif ref_cam.model == "sphere":
                 if not sphere_rectifiable(ref_cam, stacked):
                     continue
@@ -164,7 +168,7 @@ def compute_scene_rect_settings(sp: ScenePaths, problems: Sequence[Problem],
     if comp is None and iwin_s is None:
         return None
     return (comp, live, iwin_p, iwin_s, frozenset(failed),
-            None if warp_none else warp, live_s)
+            None if warp_none else warp, live_s, inv_ok)
 
 
 def _pad_stack(arrays: Sequence[np.ndarray], shape=None) -> np.ndarray:
@@ -266,8 +270,11 @@ def load_problem(
                 chw = (min(chw[0], rhw[0]), min(chw[1], rhw[1]))
                 iwin = iwin or 0
                 warp_hw = unify[5] if len(unify) > 5 else None
+                inv = bool(unify[7]) if len(unify) > 7 else False
             else:
-                from acmmp_spherical_tpu.ops.rectify import rect_warp_window
+                from acmmp_spherical_tpu.ops.rectify import (
+                    rect_inv_attrib_ok, rect_warp_window,
+                )
 
                 iwin = rect_init_window(ref_cam, stacked, rhw,
                                         min_scale=cfg.depth_min_scale,
@@ -275,10 +282,11 @@ def load_problem(
                 chw = rect_comp_shape(ref_cam, stacked, rhw)
                 live_n = rect_live_tile_count(ref_cam, stacked, rhw, chw)
                 warp_hw = rect_warp_window(ref_cam, stacked, rhw)
+                inv = rect_inv_attrib_ok(ref_cam, stacked, rhw)
             params = dataclasses.replace(
                 params, rect_ncc=True, rect_comp_hw=chw, rect_live_n=live_n,
                 rect_init=iwin > 0, rect_init_win=iwin or 384,
-                rect_warp_hw=warp_hw)
+                rect_warp_hw=warp_hw, rect_inv_attrib=inv)
     if ref_cam.model == "sphere" and (
         cfg.rect_ncc == "on"
         or (cfg.rect_ncc == "auto" and jax.default_backend() == "tpu")

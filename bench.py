@@ -129,10 +129,12 @@ def main() -> None:
     live_n = None
     iwin = 0
     warp_hw = None
+    inv_ok = False
     if fast:
         from acmmp_spherical_tpu.ops.rectify import (
             host_rectifiable, rect_comp_shape, rect_init_window,
-            rect_live_tile_count, rect_shape, rect_warp_window,
+            rect_inv_attrib_ok, rect_live_tile_count, rect_shape,
+            rect_warp_window,
         )
 
         rhw = rect_shape(H, W)
@@ -143,6 +145,7 @@ def main() -> None:
             live_n = rect_live_tile_count(cams[0], stacked, rhw, comp_hw)
             iwin = rect_init_window(cams[0], stacked, rhw)
             warp_hw = rect_warp_window(cams[0], stacked, rhw)
+            inv_ok = rect_inv_attrib_ok(cams[0], stacked, rhw)
     print(f"[bench] fast_ncc={fast} rect_ncc={rect} comp_hw={comp_hw} "
           f"live_n={live_n} init_win={iwin} warp_hw={warp_hw}",
           file=sys.stderr)
@@ -150,7 +153,7 @@ def main() -> None:
         PatchMatchParams().with_depth_range(dmin, dmax), fast_ncc=fast,
         rect_ncc=rect, rect_comp_hw=comp_hw, rect_live_n=live_n,
         rect_init=iwin > 0, rect_init_win=iwin or 384,
-        rect_warp_hw=warp_hw,
+        rect_warp_hw=warp_hw, rect_inv_attrib=inv_ok,
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(

@@ -89,9 +89,11 @@ def inner(args) -> None:
         write_synthetic_scene_to_disk(scene_dir, cams, images)
     gt_depth0 = np.load(cache)["depth0"]
 
-    # fresh output dir per run (the scene inputs persist)
+    # fresh output dir per run (the scene inputs persist); --resume keeps
+    # completed passes (crash-tolerant envelope runs: the v5e worker crash
+    # at this shape class is flaky, so attempts retry through the manifest)
     sp = ScenePaths(scene_dir)
-    if sp.output_dir.exists():
+    if sp.output_dir.exists() and not args.resume:
         import shutil
 
         shutil.rmtree(sp.output_dir)
@@ -103,7 +105,8 @@ def inner(args) -> None:
     print(f"[e2e] device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
     t0 = time.perf_counter()
-    n_points = multiscale.run_pipeline(scene_dir, PipelineConfig())
+    cfg = PipelineConfig(skip_if_complete=bool(args.resume))
+    n_points = multiscale.run_pipeline(scene_dir, cfg)
     wall = time.perf_counter() - t0
 
     mem = {}
@@ -155,6 +158,10 @@ def main() -> None:
     ap.add_argument("--inner-out", default="/tmp/acmmp_e2e_inner.json")
     ap.add_argument("--single-run", action="store_true",
                     help="skip the warm-cache second run")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing outputs and skip completed passes "
+                         "(crash-tolerant retries); implies per-attempt "
+                         "wall times that exclude already-done passes")
     args = ap.parse_args()
 
     if args.inner:
@@ -170,6 +177,8 @@ def main() -> None:
                "--size", str(args.size[0]), str(args.size[1]),
                "--views", str(args.views), "--workdir", args.workdir,
                "--inner-out", inner_out]
+        if args.resume:
+            cmd.append("--resume")
         print(f"[e2e] run {i} ({'cold' if i == 0 else 'warm'} cache): "
               f"{' '.join(cmd)}", file=sys.stderr)
         r = subprocess.run(cmd)

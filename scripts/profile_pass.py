@@ -40,6 +40,10 @@ def fence(f, *a, reps=3, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prescreen", action="store_true")
+    ap.add_argument("--no-inv-attrib", action="store_true",
+                    help="rect_inv_attrib=False: keep the scatter-based "
+                         "transport map build (A/B of the inverse-check "
+                         "attribution; PERF.md round 5)")
     ap.add_argument("--no-tap-pack", action="store_true",
                     help="rect_tap_pack=False: f32 window sampling (the A/B "
                          "variant of the bf16 pair-pack; PERF.md round 5)")
@@ -56,8 +60,8 @@ def main():
     from acmmp_spherical_tpu.ops.ncc import ref_tap_context
     from acmmp_spherical_tpu.ops.rectify import (
         build_rect_context, host_rectifiable, rect_comp_shape,
-        rect_init_window, rect_live_tile_count, rect_shape,
-        rect_warp_window,
+        rect_init_window, rect_inv_attrib_ok, rect_live_tile_count,
+        rect_shape, rect_warp_window,
     )
     from acmmp_spherical_tpu.ops.sampling import checkerboard_pack
     from acmmp_spherical_tpu.pipeline.patchmatch import run_patchmatch
@@ -93,6 +97,8 @@ def main():
         rect_init=iwin > 0, rect_init_win=iwin or 384,
         rect_prescreen=args.prescreen, rect_warp_hw=warp_hw,
         rect_tap_pack=not args.no_tap_pack,
+        rect_inv_attrib=(not args.no_inv_attrib
+                         and rect_inv_attrib_ok(cams[0], stacked, rhw)),
     )
     images_d = jax.device_put(jnp.asarray(images))
     inputs = PatchMatchInputs(
@@ -105,7 +111,8 @@ def main():
     dr = (jnp.float32(dmin), jnp.float32(dmax))
     build = jax.jit(lambda: build_rect_context(
         inputs.ref_image, inputs.src_images, inputs.ref_cam, inputs.src_cams,
-        dr, comp_hw=comp_hw, live_n=live_n, warp_hw=warp_hw))
+        dr, comp_hw=comp_hw, live_n=live_n, warp_hw=warp_hw,
+        inv_attrib=params.rect_inv_attrib))
     t_ctx, rect = fence(build)
     print(f"build_rect_context: {t_ctx*1e3:8.1f} ms")
 
