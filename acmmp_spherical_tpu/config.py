@@ -265,6 +265,23 @@ class PipelineConfig:
                                      # "on", "off".  Replaces the reference's
                                      # strictly serial per-image loop
                                      # (main.cpp:431-446)
+    ctx_reuse: str = "auto"          # cross-pass reuse of the rect working
+                                     # set: the warped frames / transport
+                                     # maps / packed tables of one (image,
+                                     # scale) are pure functions of (images,
+                                     # cameras, depth range) and so are
+                                     # IDENTICAL across its photometric +
+                                     # geometric passes -- cache them
+                                     # device-resident and rebuild only the
+                                     # warped source disparities per geom
+                                     # pass (the reference re-uploads its
+                                     # textures per pass, ACMMP.cpp:681-845).
+                                     # "auto" = on for TPU serial split-mode
+                                     # passes, "on", "off".  Bounded by
+                                     # ctx_cache_mb; needs split_iterations.
+    ctx_cache_mb: int = 3072         # device-memory budget for the context
+                                     # cache (per scale, all images); images
+                                     # beyond the budget rebuild per pass
     split_iterations: str = "auto"   # run each pass stage (init, every
                                      # half-step, extraction) as its OWN
                                      # compiled program: "auto" = on for TPU

@@ -89,13 +89,26 @@ class PatchMatchInputs(NamedTuple):
 
 
 def prepare_inputs(inputs: "PatchMatchInputs",
-                   params: Optional[PatchMatchParams] = None) -> "PatchMatchInputs":
+                   params: Optional[PatchMatchParams] = None,
+                   reuse: "PatchMatchInputs | None" = None) -> "PatchMatchInputs":
     """Precompute the packed bilinear corner tables for all source views
     (one gather row per NCC sample; see sampling.pack_bilinear), and the
-    rectified working set when ``params.rect_ncc``."""
+    rectified working set when ``params.rect_ncc``.
+
+    ``reuse``: prepared inputs from ANOTHER PASS of the same (image, scale)
+    -- same images, cameras and depth range, possibly different
+    ``src_depths``.  The packed tables are adopted wholesale; the rect
+    context rebuilds only its source-disparity planes (geometric passes) or
+    is adopted wholesale (photometric/hierarchy/prior re-runs).  The
+    reference re-uploads textures per pass (ACMMP.cpp:681-845); keeping
+    them device-resident saves the whole context build (~0.4 s/pass at the
+    bench point, PERF.md round 5)."""
     from acmmp_spherical_tpu.core.camera import PINHOLE
     from acmmp_spherical_tpu.ops.sampling import pack_bilinear
 
+    if (reuse is not None and inputs.src_packed is None
+            and reuse.src_packed is not None):
+        inputs = inputs._replace(src_packed=reuse.src_packed)
     if inputs.src_packed is None:
         wrap = inputs.src_cams.model == SPHERE
         packed = jax.vmap(
@@ -104,10 +117,15 @@ def prepare_inputs(inputs: "PatchMatchInputs",
         inputs = inputs._replace(src_packed=packed)
     if params is not None and params.rect_ncc and inputs.rect is None:
         dr = _depth_range(inputs, params)
+        reuse_rect = reuse.rect if reuse is not None else None
         if (inputs.ref_cam.model == PINHOLE
                 and inputs.src_cams.model == PINHOLE):
-            from acmmp_spherical_tpu.ops.rectify import build_rect_context
+            from acmmp_spherical_tpu.ops.rectify import (
+                RectContext, build_rect_context,
+            )
 
+            if not isinstance(reuse_rect, RectContext):
+                reuse_rect = None
             rect = build_rect_context(
                 inputs.ref_image, inputs.src_images, inputs.ref_cam,
                 inputs.src_cams, dr, src_packed=inputs.src_packed,
@@ -117,10 +135,16 @@ def prepare_inputs(inputs: "PatchMatchInputs",
                 live_n=params.rect_live_n,
                 warp_hw=params.rect_warp_hw,
                 inv_attrib=params.rect_inv_attrib,
+                reuse=reuse_rect,
             )
             inputs = inputs._replace(rect=rect)
         elif (inputs.ref_cam.model == SPHERE
                 and inputs.src_cams.model == SPHERE):
+            if reuse_rect is not None and not params.geom_consistency:
+                # sphere contexts are adopted wholesale for non-geometric
+                # passes only (their sdisp rebuild is not yet split out)
+                return inputs._replace(
+                    rect=reuse_rect._replace(rect_sdisp=None))
             from acmmp_spherical_tpu.ops.sphere_rect import (
                 build_sphere_rect_context,
             )

@@ -1007,12 +1007,31 @@ def build_rect_context(
     inv_attrib: bool = False,             # static: scatter-free fwd maps via
                                           # inverse-check attribution (host
                                           # gate rect_inv_attrib_ok)
+    reuse: "RectContext | None" = None,   # a context built for ANOTHER PASS
+                                          # of the same (image, scale): only
+                                          # rect_sdisp depends on src_depths,
+                                          # so everything else is adopted
 ) -> RectContext:
-    """Build the per-pass rectified working set (all XLA; one per pass)."""
+    """Build the per-pass rectified working set (all XLA; one per pass).
+
+    ``reuse``: of the whole working set only ``rect_sdisp`` (the warped
+    source disparity planes of geometric passes) depends on the previous
+    pass's depth maps; the warped frames, transport maps and window tables
+    are pure functions of (images, cameras, depth range), which are
+    identical across the photometric and 2 geometric passes of one
+    (image, scale) (reference re-uploads its textures per pass,
+    ACMMP.cpp:681-845 -- here they stay device-resident instead and only
+    the disparity warps rebuild)."""
     from acmmp_spherical_tpu.ops.sampling import grid_coords, pack_bicubic
 
     H, W = ref_image.shape
     hr, wr = rect_shape(H, W)
+    if reuse is not None:
+        rect_sdisp = None
+        if src_depths is not None:
+            rect_sdisp = build_rect_sdisp(reuse.pr, src_depths, src_cams,
+                                          (hr, wr), warp_hw)
+        return reuse._replace(rect_sdisp=rect_sdisp)
     hb, wb = comp_hw if comp_hw is not None else (hr, wr)
     pr = build_pair_rect(ref_cam, src_cams, (hr, wr))
 
@@ -1131,50 +1150,61 @@ def build_rect_context(
     srow = srow.at[:, 4].set(1.0 / jnp.maximum(pr.scale, 1e-6))
 
     rect_sdisp = None
-    if src_depths is not None and warp_hw is not None:
-        from acmmp_spherical_tpu.ops.pallas.warp_image import (
-            warp_src_disparities,
-        )
-
-        rect_sdisp = warp_src_disparities(
-            src_depths, pr.H1inv, pr.R_sr, src_cams.K,
-            pr.K[:, 0] * pr.baseline, src_cams.width, src_cams.height,
-            (hr, wr), warp_hw,
-            interpret=jax.default_backend() != "tpu")
-    elif src_depths is not None:
-        # warp each source depth map into its pair's rect frame as the
-        # implied rect disparity f*B/z_rect (trunc-nearest lookup like the
-        # reference's depth reads, ACMMP.cu:657)
-        ys_r = jax.lax.broadcasted_iota(
-            jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 0) - PAD_Y
-        xs_r = jax.lax.broadcasted_iota(
-            jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 1) - PAD_X
-
-        def warp_disp(zmap, H1inv, R_sr, K_s, fB, wd, ht):
-            px, py, z = rect_coords(H1inv, xs_r, ys_r)
-            xi = px.astype(jnp.int32)          # C truncation
-            yi = py.astype(jnp.int32)
-            ok = (z > 0) & (px >= 0) & (xi < wd.astype(jnp.int32)) \
-                & (py >= 0) & (yi < ht.astype(jnp.int32))
-            wi = zmap.shape[1]
-            zs = zmap.reshape(-1)[jnp.clip(yi, 0, zmap.shape[0] - 1) * wi
-                                  + jnp.clip(xi, 0, wi - 1)]
-            # z in the rect frame: third row of R_sr applied to the src-cam
-            # point  z * K_s^-1 (px, py, 1)
-            u = (px.astype(jnp.float32) - K_s[0, 2]) / K_s[0, 0]
-            v = (py.astype(jnp.float32) - K_s[1, 2]) / K_s[1, 1]
-            z_rect = zs * (R_sr[2, 0] * u + R_sr[2, 1] * v + R_sr[2, 2])
-            disp = fB / jnp.maximum(z_rect, 1e-6)
-            return jnp.where(ok & (zs > 0) & (z_rect > 0), disp, SENTINEL)
-
-        fB_all = pr.K[:, 0] * pr.baseline
-        rect_sdisp = jax.vmap(warp_disp)(
-            src_depths, pr.H1inv, pr.R_sr, src_cams.K, fB_all,
-            src_cams.width, src_cams.height)
+    if src_depths is not None:
+        rect_sdisp = build_rect_sdisp(pr, src_depths, src_cams, (hr, wr),
+                                      warp_hw)
 
     return RectContext(pr=pr, rect_ref=rect_ref, rect_src=rect_src,
                        maps=maps, tile_oy=tile_oy, tile_ox=tile_ox,
                        srow=srow, rect_sdisp=rect_sdisp)
+
+
+def build_rect_sdisp(pr: PairRect, src_depths: jax.Array, src_cams,
+                     rect_hw: tuple[int, int],
+                     warp_hw: "tuple[int, int] | None"):
+    """Warp each source depth map into its pair's rect frame as the implied
+    rect disparity f*B/z_rect (SENTINEL where no/invalid source depth) for
+    the fused geometric-consistency term -- the only piece of the rect
+    working set that changes between the passes of one (image, scale)."""
+    hr, wr = rect_hw
+    if warp_hw is not None:
+        from acmmp_spherical_tpu.ops.pallas.warp_image import (
+            warp_src_disparities,
+        )
+
+        return warp_src_disparities(
+            src_depths, pr.H1inv, pr.R_sr, src_cams.K,
+            pr.K[:, 0] * pr.baseline, src_cams.width, src_cams.height,
+            (hr, wr), warp_hw,
+            interpret=jax.default_backend() != "tpu")
+    # XLA fallback: trunc-nearest lookup like the reference's depth reads
+    # (ACMMP.cu:657)
+    ys_r = jax.lax.broadcasted_iota(
+        jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 0) - PAD_Y
+    xs_r = jax.lax.broadcasted_iota(
+        jnp.float32, (hr + 2 * PAD_Y, wr + 2 * PAD_X), 1) - PAD_X
+
+    def warp_disp(zmap, H1inv, R_sr, K_s, fB, wd, ht):
+        px, py, z = rect_coords(H1inv, xs_r, ys_r)
+        xi = px.astype(jnp.int32)          # C truncation
+        yi = py.astype(jnp.int32)
+        ok = (z > 0) & (px >= 0) & (xi < wd.astype(jnp.int32)) \
+            & (py >= 0) & (yi < ht.astype(jnp.int32))
+        wi = zmap.shape[1]
+        zs = zmap.reshape(-1)[jnp.clip(yi, 0, zmap.shape[0] - 1) * wi
+                              + jnp.clip(xi, 0, wi - 1)]
+        # z in the rect frame: third row of R_sr applied to the src-cam
+        # point  z * K_s^-1 (px, py, 1)
+        u = (px.astype(jnp.float32) - K_s[0, 2]) / K_s[0, 0]
+        v = (py.astype(jnp.float32) - K_s[1, 2]) / K_s[1, 1]
+        z_rect = zs * (R_sr[2, 0] * u + R_sr[2, 1] * v + R_sr[2, 2])
+        disp = fB / jnp.maximum(z_rect, 1e-6)
+        return jnp.where(ok & (zs > 0) & (z_rect > 0), disp, SENTINEL)
+
+    fB_all = pr.K[:, 0] * pr.baseline
+    return jax.vmap(warp_disp)(
+        src_depths, pr.H1inv, pr.R_sr, src_cams.K, fB_all,
+        src_cams.width, src_cams.height)
 
 
 def host_rectifiable(ref_cam: Camera, src_cams: Cameras,

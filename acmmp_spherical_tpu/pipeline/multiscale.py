@@ -209,12 +209,22 @@ def run_pipeline(root, cfg: PipelineConfig = PipelineConfig(),
         log.info("batched pass execution over %d local devices",
                  mesh.devices.size)
 
+    # cross-pass context reuse (cfg.ctx_reuse): needs the split-program path
+    # (it exposes the prepare stage) and serial execution
+    split_on = tile_mesh is None and (cfg.split_iterations == "on" or (
+        cfg.split_iterations == "auto" and jax.default_backend() == "tpu"))
+    ctx_reuse_on = split_on and (cfg.ctx_reuse == "on" or (
+        cfg.ctx_reuse == "auto" and jax.default_backend() == "tpu"))
+
     max_k = compute_multiscale_settings(sp, problems, cfg)
     first = True
     scale = max_k
     base_cfg = cfg
     while scale >= 0:
         log.info("=== scale %d ===", scale)
+        # fresh per scale: the contexts are scale-shaped; dropping the dict
+        # frees the previous scale's device buffers
+        ctx_cache = {} if ctx_reuse_on else None
         for p in problems:
             if p.num_downscale >= 0:
                 p.cur_image_size = p.max_image_size // (2 ** p.num_downscale)
@@ -246,6 +256,7 @@ def run_pipeline(root, cfg: PipelineConfig = PipelineConfig(),
                             sp, problems, idx, cfg, geom=geom,
                             planar_prior=prior, hierarchy=hier,
                             multi_geometry=multi, tile_mesh=tile_mesh,
+                            ctx_cache=ctx_cache,
                         )
                     mark_pass_complete(sp, pass_name, pid)
                     return

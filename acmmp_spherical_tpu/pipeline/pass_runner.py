@@ -399,6 +399,7 @@ def process_problem(
     multi_geometry: bool = False,
     seed: Optional[int] = None,
     tile_mesh=None,
+    ctx_cache: Optional[dict] = None,
 ) -> None:
     """Run one pass for one problem and persist the results
     (ProcessProblem analog, main.cpp:73-210).
@@ -407,7 +408,15 @@ def process_problem(
     plane state is sharded along the image width over the mesh's ``tile``
     axis (GSPMD halo exchange; SURVEY.md 5.8 #4).  For frames whose working
     set exceeds one chip; runs the exact array-program path (the Pallas
-    fast kernels do not partition)."""
+    fast kernels do not partition).
+
+    ``ctx_cache``: cross-pass context cache (cfg.ctx_reuse) owned by the
+    scale loop in multiscale.run_pipeline: maps a per-image key to the
+    PREPARED inputs of this image's first pass of the scale, whose
+    depth-independent pieces (packed tables, warped frames, transport
+    maps) are adopted by the later passes instead of rebuilt
+    (ops/propagate.prepare_inputs).  Only active in split-program mode
+    (the fused program traces its own prepare)."""
     problem = problems[idx]
     image_id = problem.ref_image_id
     sp.result_dir(image_id).mkdir(parents=True, exist_ok=True)
@@ -450,8 +459,45 @@ def process_problem(
         cfg.split_iterations == "auto" and jax.default_backend() == "tpu"))
     run_pass = run_patchmatch_split if split else run_patchmatch
     kw = {} if split else {"shard_state": shard_state}
+    pass_inputs = lp.inputs
+    if split:
+        # split mode exposes the prepare stage, so the pipeline can reuse
+        # the depth-independent context pieces across the passes of one
+        # (image, scale) -- see ops/propagate.prepare_inputs.  The prior
+        # re-run below reuses them even without a cross-pass cache.
+        from acmmp_spherical_tpu.pipeline.patchmatch import _split_prepare
+
+        ck = (image_id, lp.height, lp.width, params.rect_comp_hw,
+              params.rect_live_n, params.rect_warp_hw,
+              params.rect_inv_attrib, params.rect_init_win,
+              params.sphere_live_n)
+        cached = ctx_cache.get(ck) if ctx_cache is not None else None
+        pass_inputs = _split_prepare(lp.inputs, params, cached)
+        kw["prepared"] = True
+        if ctx_cache is not None and cached is None:
+            # store ONLY the reusable pieces (packed tables + rect context
+            # minus the per-pass disparity planes): holding the full inputs
+            # would pin duplicate image stacks in device memory
+            rect_slim = pass_inputs.rect
+            if rect_slim is not None:
+                rect_slim = rect_slim._replace(rect_sdisp=None)
+            slim = PatchMatchInputs(
+                ref_image=None, src_images=None, ref_cam=None,
+                src_cams=None, src_valid=None,
+                src_packed=pass_inputs.src_packed, rect=rect_slim)
+            nbytes = sum(a.nbytes
+                         for a in jax.tree_util.tree_leaves(slim)
+                         if hasattr(a, "nbytes"))
+            budget = cfg.ctx_cache_mb * (1 << 20)
+            if ctx_cache.setdefault("_bytes", 0) + nbytes <= budget:
+                ctx_cache[ck] = slim
+                ctx_cache["_bytes"] += nbytes
+            else:
+                log.info("ctx cache full (%d/%d MB): image %08d rebuilds "
+                         "per pass", ctx_cache["_bytes"] >> 20,
+                         cfg.ctx_cache_mb, image_id)
     depth, normal_world, cost, state = run_pass(
-        lp.inputs, params, key,
+        pass_inputs, params, key,
         seed_normal_world=seed_normal, seed_depth=seed_depth, **kw,
     )
 
@@ -468,7 +514,7 @@ def process_problem(
         cv2.imwrite(str(sp.result_dir(image_id) / "triangulation.png"),
                     overlay[..., ::-1])
         if mask.any():
-            prior_inputs = lp.inputs._replace(
+            prior_inputs = pass_inputs._replace(
                 prior_normal=jnp.asarray(prior_normal),
                 prior_w=jnp.asarray(prior_w),
                 prior_mask=jnp.asarray(mask),

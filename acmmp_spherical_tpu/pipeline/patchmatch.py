@@ -124,8 +124,11 @@ def run_patchmatch(
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _split_prepare(inputs, params):
-    return prepare_inputs(inputs, params)
+def _split_prepare(inputs, params, reuse=None):
+    # ``reuse``: prepared inputs of another pass of the same (image, scale);
+    # the depth-independent context pieces are adopted instead of rebuilt
+    # (pipeline ctx-reuse cache, pass_runner.process_problem)
+    return prepare_inputs(inputs, params, reuse=reuse)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -163,6 +166,7 @@ def run_patchmatch_split(
     prev_state: Optional[PlaneState] = None,
     seed_normal_world: Optional[jax.Array] = None,
     seed_depth: Optional[jax.Array] = None,
+    prepared: bool = False,
 ):
     """run_patchmatch with each stage (init, every half-step, extraction)
     compiled and dispatched as its OWN program.
@@ -186,8 +190,11 @@ def run_patchmatch_split(
 
     ``shard_state`` is not supported here -- the tile-shard mode runs the
     exact path through fused run_patchmatch (parallel/tile.py).
+
+    ``prepared``: the caller already ran ``_split_prepare`` (e.g. through
+    the pipeline's cross-pass context cache) -- skip it.
     """
-    inputs2 = _split_prepare(inputs, params)
+    inputs2 = inputs if prepared else _split_prepare(inputs, params)
     ctx, state, k_iters = _split_init(
         inputs2, params, key, prev_state, seed_normal_world, seed_depth)
 
