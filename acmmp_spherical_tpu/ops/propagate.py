@@ -140,21 +140,19 @@ def prepare_inputs(inputs: "PatchMatchInputs",
             inputs = inputs._replace(rect=rect)
         elif (inputs.ref_cam.model == SPHERE
                 and inputs.src_cams.model == SPHERE):
-            if reuse_rect is not None and not params.geom_consistency:
-                # sphere contexts are adopted wholesale for non-geometric
-                # passes only (their sdisp rebuild is not yet split out)
-                return inputs._replace(
-                    rect=reuse_rect._replace(rect_sdisp=None))
             from acmmp_spherical_tpu.ops.sphere_rect import (
-                build_sphere_rect_context,
+                SphereRectContext, build_sphere_rect_context,
             )
 
+            if not isinstance(reuse_rect, SphereRectContext):
+                reuse_rect = None
             rect = build_sphere_rect_context(
                 inputs.ref_image, inputs.src_images, inputs.ref_cam,
                 inputs.src_cams, dr,
                 src_depths=(inputs.src_depths
                             if params.geom_consistency else None),
                 live_n=params.sphere_live_n,
+                reuse=reuse_rect,
             )
             inputs = inputs._replace(rect=rect)
     return inputs

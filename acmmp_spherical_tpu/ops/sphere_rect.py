@@ -108,6 +108,10 @@ def build_sphere_rect_context(
                                           # rotated frame is mostly live, so
                                           # None = identity is the default)
     parity_maps: bool = True,
+    reuse: "SphereRectContext | None" = None,  # a context built for ANOTHER
+                                          # PASS of the same (image, scale):
+                                          # only rect_sdisp depends on
+                                          # src_depths (see rectify's reuse)
 ) -> SphereRectContext:
     """Build the per-pass pole-rotated working set (all XLA; one per pass)."""
     from acmmp_spherical_tpu.core import geometry as G
@@ -116,23 +120,19 @@ def build_sphere_rect_context(
     )
 
     H, W = ref_image.shape
+    if reuse is not None:
+        rect_sdisp = None
+        if src_depths is not None:
+            rect_sdisp = build_sphere_sdisp(ref_cam, src_cams, src_depths,
+                                            (H, W))
+        return reuse._replace(rect_sdisp=rect_sdisp)
     Ht = -(-H // 128) * 128      # lanes (latitude), 128-aligned
     Wt = -(-W // 8) * 8          # rows (longitude), 8-aligned
     cx = ref_cam.params[1]
     cy = ref_cam.params[2]
     lat_cap = math.radians(lat_cap_deg)
 
-    # ---- per-pair pole basis (ref-cam frame) -------------------------------
-    C0 = camera_center(ref_cam)
-    Csrc = jax.vmap(lambda R, t: -R.T @ t)(src_cams.R, src_cams.t)
-    b_cam = jnp.einsum("ij,sj->si", ref_cam.R, Csrc - C0, precision=_HI)
-    Bn = jnp.linalg.norm(b_cam, axis=-1)
-    e2 = b_cam / jnp.maximum(Bn, 1e-20)[:, None]   # pole axis = +baseline
-    z = jnp.asarray([0.0, 0.0, 1.0])
-    e3 = z[None] - e2 * e2[:, 2:3]
-    e3 = e3 / jnp.maximum(jnp.linalg.norm(e3, axis=-1, keepdims=True), 1e-20)
-    e1 = jnp.cross(e2, e3)
-    R_rot = jnp.stack([e1, e2, e3], axis=-2)       # (S, 3, 3) cam -> rot
+    R_rot, R_rel, Bn = _pole_basis(ref_cam, src_cams)
 
     # ---- warps into the transposed rotated frames --------------------------
     rows = (jax.lax.broadcasted_iota(
@@ -163,9 +163,6 @@ def build_sphere_rect_context(
 
     rect_ref = jax.vmap(warp_ref)(R_rot)
 
-    R_rel = jnp.einsum("sij,kj->sik", src_cams.R, ref_cam.R,
-                       precision=_HI)              # src-cam <- ref-cam
-
     def warp_src(img, Rr, Rl, wd, ht, pcx, pcy):
         p16 = pack_bicubic(img, wd, ht, wrap_x=True)
         ray_cam = jnp.einsum("ji,...j->...i", Rr, ray_rot_g, precision=_HI)
@@ -184,33 +181,8 @@ def build_sphere_rect_context(
 
     rect_sdisp = None
     if src_depths is not None:
-        # warp each source's depth map (RADIAL depth -- rotation-invariant)
-        # into its pair's rotated transposed frame as the IMPLIED LANE
-        # DISPLACEMENT: the exact inverse of the candidate mapping, so a
-        # consistent depth gives a zero disparity mismatch by construction
-        def warp_disp(zmap, Rr, Rl, wd, ht, pcx, pcy, B):
-            ray_cam = jnp.einsum("ji,...j->...i", Rr, ray_rot_g,
-                                 precision=_HI)
-            ray_s = jnp.einsum("ij,...j->...i", Rl, ray_cam, precision=_HI)
-            lat_i = -jnp.arcsin(jnp.clip(ray_s[..., 1], -1.0, 1.0))
-            lon_i = jnp.arctan2(ray_s[..., 0], ray_s[..., 2])
-            px = lon_i / (2.0 * PI) * wd + pcx
-            py = -lat_i / PI * ht + pcy
-            wi = zmap.shape[1]
-            xi = jnp.remainder(px.astype(jnp.int32),
-                               jnp.maximum(wd.astype(jnp.int32), 1))
-            yi = py.astype(jnp.int32)            # C truncation
-            ok = (py >= 0) & (yi < ht.astype(jnp.int32))
-            d_s = zmap.reshape(-1)[jnp.clip(yi, 0, zmap.shape[0] - 1) * wi
-                                   + jnp.clip(xi, 0, wi - 1)]
-            lat_r = jnp.arctan2(d_s * jnp.sin(lat_g) - B,
-                                d_s * jnp.cos(lat_g))
-            g = (lat_g - lat_r) * (H / PI)
-            return jnp.where(ok & (d_s > 0), g, -1.0e4)
-
-        rect_sdisp = jax.vmap(warp_disp)(
-            src_depths, R_rot, R_rel, src_cams.width, src_cams.height,
-            src_cams.params[:, 1], src_cams.params[:, 2], Bn)
+        rect_sdisp = build_sphere_sdisp(ref_cam, src_cams, src_depths,
+                                        (H, W))
 
     # ---- backward map: orig pixel -> transposed rotated pixel --------------
     xs, ys = grid_coords(H, W)
@@ -286,6 +258,72 @@ def build_sphere_rect_context(
         rays_cam=rays_cam, rect_sdisp=rect_sdisp, slat=slat, lat=lat,
         baseline=Bn,
     )
+
+
+def _pole_basis(ref_cam: Camera, src_cams: Cameras):
+    """Per-pair pole basis in the ref-cam frame: ``(R_rot, R_rel, Bn)``
+    with ``R_rot`` (S, 3, 3) cam -> rotated (pole axis = +baseline),
+    ``R_rel`` (S, 3, 3) src-cam <- ref-cam, ``Bn`` (S,) baseline norms."""
+    C0 = camera_center(ref_cam)
+    Csrc = jax.vmap(lambda R, t: -R.T @ t)(src_cams.R, src_cams.t)
+    b_cam = jnp.einsum("ij,sj->si", ref_cam.R, Csrc - C0, precision=_HI)
+    Bn = jnp.linalg.norm(b_cam, axis=-1)
+    e2 = b_cam / jnp.maximum(Bn, 1e-20)[:, None]
+    z = jnp.asarray([0.0, 0.0, 1.0])
+    e3 = z[None] - e2 * e2[:, 2:3]
+    e3 = e3 / jnp.maximum(jnp.linalg.norm(e3, axis=-1, keepdims=True), 1e-20)
+    e1 = jnp.cross(e2, e3)
+    R_rot = jnp.stack([e1, e2, e3], axis=-2)
+    R_rel = jnp.einsum("sij,kj->sik", src_cams.R, ref_cam.R, precision=_HI)
+    return R_rot, R_rel, Bn
+
+
+def build_sphere_sdisp(ref_cam: Camera, src_cams: Cameras,
+                       src_depths: jax.Array, hw: tuple[int, int]):
+    """Warp each source's depth map (RADIAL depth -- rotation-invariant)
+    into its pair's rotated transposed frame as the IMPLIED LANE
+    DISPLACEMENT: the exact inverse of the candidate mapping, so a
+    consistent depth gives a zero disparity mismatch by construction.
+    The only piece of the sphere working set that changes between the
+    passes of one (image, scale) -- see build_sphere_rect_context's
+    ``reuse``."""
+    H, W = hw
+    Ht = -(-H // 128) * 128
+    Wt = -(-W // 8) * 8
+    cx = ref_cam.params[1]
+    cy = ref_cam.params[2]
+    R_rot, R_rel, Bn = _pole_basis(ref_cam, src_cams)
+    rows = (jax.lax.broadcasted_iota(
+        jnp.float32, (Wt + 2 * PAD_Y, Ht + 2 * PAD_X), 0) - PAD_Y)
+    lanes = (jax.lax.broadcasted_iota(
+        jnp.float32, (Wt + 2 * PAD_Y, Ht + 2 * PAD_X), 1) - PAD_X)
+    lon_g = (rows - cx) / W * (2.0 * PI)
+    lat_g = -(lanes - cy) / H * PI
+    ray_rot_g = _equirect_ray(lon_g, lat_g)
+
+    def warp_disp(zmap, Rr, Rl, wd, ht, pcx, pcy, B):
+        ray_cam = jnp.einsum("ji,...j->...i", Rr, ray_rot_g,
+                             precision=_HI)
+        ray_s = jnp.einsum("ij,...j->...i", Rl, ray_cam, precision=_HI)
+        lat_i = -jnp.arcsin(jnp.clip(ray_s[..., 1], -1.0, 1.0))
+        lon_i = jnp.arctan2(ray_s[..., 0], ray_s[..., 2])
+        px = lon_i / (2.0 * PI) * wd + pcx
+        py = -lat_i / PI * ht + pcy
+        wi = zmap.shape[1]
+        xi = jnp.remainder(px.astype(jnp.int32),
+                           jnp.maximum(wd.astype(jnp.int32), 1))
+        yi = py.astype(jnp.int32)            # C truncation
+        ok = (py >= 0) & (yi < ht.astype(jnp.int32))
+        d_s = zmap.reshape(-1)[jnp.clip(yi, 0, zmap.shape[0] - 1) * wi
+                               + jnp.clip(xi, 0, wi - 1)]
+        lat_r = jnp.arctan2(d_s * jnp.sin(lat_g) - B,
+                            d_s * jnp.cos(lat_g))
+        g = (lat_g - lat_r) * (H / PI)
+        return jnp.where(ok & (d_s > 0), g, -1.0e4)
+
+    return jax.vmap(warp_disp)(
+        src_depths, R_rot, R_rel, src_cams.width, src_cams.height,
+        src_cams.params[:, 1], src_cams.params[:, 2], Bn)
 
 
 import functools

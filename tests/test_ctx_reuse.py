@@ -100,6 +100,35 @@ def test_prepare_inputs_reuse_matches_fresh(scene):
     _assert_tree_equal(reused, fresh, "reused prepare != fresh prepare")
 
 
+def test_reuse_sphere_context_matches_fresh():
+    """build_sphere_rect_context(reuse=photometric_ctx) for a geom pass must
+    equal the fresh-built geom context exactly (only rect_sdisp rebuilds,
+    from the recomputed pole basis)."""
+    from acmmp_spherical_tpu.core.camera import SPHERE
+    from acmmp_spherical_tpu.ops.sphere_rect import build_sphere_rect_context
+
+    sc = CubeRoom()
+    W, H, n = 128, 64, 3
+    cams = make_ring_of_cameras(n, model=SPHERE, width=W, height=H)
+    images, depths, _ = render_scene(cams, sc, W, H)
+    images = jnp.asarray(images)
+    ref_cam = cams[0]
+    src_cams = stack_cameras(cams[1:])
+    dmin, dmax = ref_cam.depth_range[0], ref_cam.depth_range[1]
+    src_depths = jnp.asarray(depths[1:])
+
+    photo = build_sphere_rect_context(images[0], images[1:], ref_cam,
+                                      src_cams, (dmin, dmax))
+    fresh = build_sphere_rect_context(images[0], images[1:], ref_cam,
+                                      src_cams, (dmin, dmax),
+                                      src_depths=src_depths)
+    reused = build_sphere_rect_context(images[0], images[1:], ref_cam,
+                                       src_cams, (dmin, dmax),
+                                       src_depths=src_depths, reuse=photo)
+    _assert_tree_equal(reused, fresh,
+                       "reuse-built sphere geom context != fresh")
+
+
 @pytest.mark.slow
 def test_pipeline_ctx_reuse_bit_identical(tmp_path):
     """A full pipeline run with the context cache on reproduces the cached
